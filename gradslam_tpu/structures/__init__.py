@@ -1,0 +1,12 @@
+from .pointclouds import Pointclouds
+from .rgbdimages import RGBDImages
+from .structutils import list_to_padded, padded_to_list
+from .utils import pointclouds_from_rgbdimages
+
+__all__ = [
+    "Pointclouds",
+    "RGBDImages",
+    "pointclouds_from_rgbdimages",
+    "list_to_padded",
+    "padded_to_list",
+]

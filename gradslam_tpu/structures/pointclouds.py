@@ -1,0 +1,413 @@
+r"""Batched pointclouds as fixed-capacity padded buffers (TPU-native).
+
+Re-design of the reference ``Pointclouds``
+(``/root/reference/gradslam/structures/pointclouds.py:13``). The reference keeps
+a list of ragged ``(N_b, 3)`` tensors and grows the global map with unbounded
+``append_points`` (:1117) — dynamic shapes that are incompatible with XLA's
+trace-once compilation model. Here the *padded* representation the reference
+only half-has (``points_padded`` + ``nonpad_mask``, :791-809) is promoted to
+primary and given a fixed capacity:
+
+- ``points``   ``(B, CAP, 3)`` — padded point buffer,
+- ``num_points`` ``(B,)`` int32 — live-point counters,
+- optional ``normals``/``colors`` ``(B, CAP, 3)`` and ``features`` ``(B, CAP, C)``.
+
+"Appending" becomes a masked scatter into the free region (see
+:func:`append_masked`), so the whole SLAM loop stays static-shaped, jittable,
+vmappable, and differentiable (gradients flow through the scatter).
+
+Everything is a frozen dataclass pytree: operations return new objects; the
+reference's in-place ``*_`` methods map to the pure methods here.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry import projutils
+from ..geometry.geometryutils import transform_normals, transform_pointcloud
+from ..utils.precision import einsum_hp
+
+__all__ = ["Pointclouds"]
+
+
+def _compact_masked(values: jnp.ndarray, mask: jnp.ndarray, capacity: int):
+    """Compact masked rows of ``values (B, M, C)`` to the front of a
+    ``(B, capacity, C)`` buffer. Returns ``(buffer, counts)``.
+
+    Rows beyond capacity are dropped (XLA scatter ``mode='drop'``).
+    """
+    B, M = mask.shape
+    dest = jnp.cumsum(mask.astype(jnp.int32), axis=-1) - 1  # (B, M)
+    dest = jnp.where(mask, dest, capacity)  # park invalid rows out of bounds
+    out = jnp.zeros((B, capacity) + values.shape[2:], dtype=values.dtype)
+    bidx = jnp.broadcast_to(jnp.arange(B)[:, None], (B, M))
+    out = out.at[bidx, dest].set(values, mode="drop")
+    counts = jnp.minimum(jnp.sum(mask, axis=-1).astype(jnp.int32), capacity)
+    return out, counts
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class Pointclouds:
+    r"""A batch of ``B`` pointclouds stored in fixed-capacity padded buffers.
+
+    Mirrors the public surface of the reference ``Pointclouds`` while being a
+    frozen JAX pytree (safe to pass through ``jit``/``scan``/``vmap``/``grad``).
+    """
+
+    points: jnp.ndarray  # (B, CAP, 3)
+    num_points: jnp.ndarray  # (B,) int32
+    normals: Optional[jnp.ndarray] = None  # (B, CAP, 3)
+    colors: Optional[jnp.ndarray] = None  # (B, CAP, 3)
+    features: Optional[jnp.ndarray] = None  # (B, CAP, C)
+
+    def __post_init__(self):
+        pts = self.points
+        if hasattr(pts, "ndim") and not isinstance(pts, jax.core.Tracer):
+            if pts.ndim != 3 or pts.shape[-1] != 3:
+                raise ValueError(
+                    f"points must have shape (B, CAP, 3). Got {pts.shape}."
+                )
+            for name in ("normals", "colors", "features"):
+                attr = getattr(self, name)
+                if attr is not None and attr.shape[:2] != pts.shape[:2]:
+                    raise ValueError(
+                        f"{name} must have shape (B, CAP, *). Got {attr.shape} "
+                        f"for points of shape {pts.shape}."
+                    )
+
+    # ------------------------------------------------------------------ #
+    # Constructors
+    # ------------------------------------------------------------------ #
+    @classmethod
+    def empty(
+        cls,
+        batch_size: int,
+        capacity: int,
+        has_normals: bool = True,
+        has_colors: bool = True,
+        feature_dim: Optional[int] = 1,
+        dtype=jnp.float32,
+    ) -> "Pointclouds":
+        """An empty map buffer — the scan carry's initial value."""
+        zeros3 = jnp.zeros((batch_size, capacity, 3), dtype=dtype)
+        return cls(
+            points=zeros3,
+            num_points=jnp.zeros((batch_size,), dtype=jnp.int32),
+            normals=zeros3 if has_normals else None,
+            colors=zeros3 if has_colors else None,
+            features=(
+                jnp.zeros((batch_size, capacity, feature_dim), dtype=dtype)
+                if feature_dim
+                else None
+            ),
+        )
+
+    @classmethod
+    def from_list(
+        cls,
+        points: Sequence,
+        normals: Optional[Sequence] = None,
+        colors: Optional[Sequence] = None,
+        features: Optional[Sequence] = None,
+        capacity: Optional[int] = None,
+    ) -> "Pointclouds":
+        """Build from a list of ragged ``(N_b, 3)`` arrays (host-side helper,
+        parity with the reference list constructor pointclouds.py:110)."""
+        if len(points) == 0:
+            raise ValueError("points list must be non-empty.")
+        counts = [int(np.asarray(p).shape[0]) for p in points]
+        cap = capacity if capacity is not None else max(max(counts), 1)
+
+        def pad(seq, dim):
+            if seq is None:
+                return None
+            out = np.zeros((len(seq), cap, dim), dtype=np.float32)
+            for b, arr in enumerate(seq):
+                arr = np.asarray(arr, dtype=np.float32)
+                n = min(arr.shape[0], cap)
+                if n:
+                    out[b, :n] = arr[:n]
+            return jnp.asarray(out)
+
+        fdim = int(np.asarray(features[0]).shape[-1]) if features is not None else None
+        return cls(
+            points=pad(points, 3),
+            num_points=jnp.asarray(np.minimum(counts, cap), dtype=jnp.int32),
+            normals=pad(normals, 3),
+            colors=pad(colors, 3),
+            features=pad(features, fdim) if features is not None else None,
+        )
+
+    # ------------------------------------------------------------------ #
+    # Basic properties
+    # ------------------------------------------------------------------ #
+    def __len__(self) -> int:
+        return self.points.shape[0]
+
+    @property
+    def capacity(self) -> int:
+        return self.points.shape[1]
+
+    @property
+    def nonpad_mask(self) -> jnp.ndarray:
+        """(B, CAP) bool — True for live (non-padding) points."""
+        idx = jnp.arange(self.capacity, dtype=jnp.int32)[None, :]
+        return idx < self.num_points[:, None]
+
+    @property
+    def points_padded(self) -> jnp.ndarray:
+        return self.points
+
+    @property
+    def normals_padded(self) -> Optional[jnp.ndarray]:
+        return self.normals
+
+    @property
+    def colors_padded(self) -> Optional[jnp.ndarray]:
+        return self.colors
+
+    @property
+    def features_padded(self) -> Optional[jnp.ndarray]:
+        return self.features
+
+    @property
+    def has_points(self) -> bool:
+        """Host-side check (do not use inside jit — query num_points instead)."""
+        return bool(jax.device_get(jnp.any(self.num_points > 0)))
+
+    @property
+    def has_normals(self) -> bool:
+        return self.normals is not None
+
+    @property
+    def has_colors(self) -> bool:
+        return self.colors is not None
+
+    @property
+    def has_features(self) -> bool:
+        return self.features is not None
+
+    @property
+    def points_list(self) -> List[np.ndarray]:
+        """Host-side ragged view (parity with the reference list repr)."""
+        pts = np.asarray(jax.device_get(self.points))
+        counts = np.asarray(jax.device_get(self.num_points))
+        return [pts[b, : counts[b]] for b in range(len(self))]
+
+    @property
+    def normals_list(self) -> Optional[List[np.ndarray]]:
+        if self.normals is None:
+            return None
+        arr = np.asarray(jax.device_get(self.normals))
+        counts = np.asarray(jax.device_get(self.num_points))
+        return [arr[b, : counts[b]] for b in range(len(self))]
+
+    @property
+    def colors_list(self) -> Optional[List[np.ndarray]]:
+        if self.colors is None:
+            return None
+        arr = np.asarray(jax.device_get(self.colors))
+        counts = np.asarray(jax.device_get(self.num_points))
+        return [arr[b, : counts[b]] for b in range(len(self))]
+
+    @property
+    def features_list(self) -> Optional[List[np.ndarray]]:
+        if self.features is None:
+            return None
+        arr = np.asarray(jax.device_get(self.features))
+        counts = np.asarray(jax.device_get(self.num_points))
+        return [arr[b, : counts[b]] for b in range(len(self))]
+
+    def __getitem__(self, index) -> "Pointclouds":
+        """Batch indexing; returns a Pointclouds with the selected batch rows."""
+        if isinstance(index, int):
+            index = slice(index, index + 1)
+
+        def sel(x):
+            return None if x is None else x[index]
+
+        return Pointclouds(
+            points=self.points[index],
+            num_points=self.num_points[index],
+            normals=sel(self.normals),
+            colors=sel(self.colors),
+            features=sel(self.features),
+        )
+
+    # ------------------------------------------------------------------ #
+    # Geometric ops (pure; reference `*_` in-place ops map here)
+    # ------------------------------------------------------------------ #
+    def _map_points(self, fn, also_normals=None) -> "Pointclouds":
+        return dataclasses.replace(
+            self,
+            points=fn(self.points),
+            normals=(
+                also_normals(self.normals)
+                if (also_normals is not None and self.normals is not None)
+                else self.normals
+            ),
+        )
+
+    def offset(self, offsets) -> "Pointclouds":
+        offsets = jnp.asarray(offsets)
+        mask = self.nonpad_mask[..., None].astype(self.points.dtype)
+        return dataclasses.replace(self, points=self.points + offsets * mask)
+
+    def scale(self, scales) -> "Pointclouds":
+        scales = jnp.asarray(scales)
+        return dataclasses.replace(self, points=self.points * scales)
+
+    def rotate(self, rmat) -> "Pointclouds":
+        """Rotate by ``(3, 3)`` or ``(B, 3, 3)`` rotation matrices
+        (reference pointclouds.py:466)."""
+        rmat = jnp.asarray(rmat)
+        if rmat.shape[-2:] != (3, 3):
+            raise ValueError(f"rmat must have shape (*, 3, 3). Got {rmat.shape}.")
+        if rmat.ndim == 2:
+            rot = lambda x: einsum_hp("ij,bnj->bni", rmat, x)
+        else:
+            rot = lambda x: einsum_hp("bij,bnj->bni", rmat, x)
+        return self._map_points(rot, also_normals=rot)
+
+    def transform(self, transform) -> "Pointclouds":
+        """Apply SE(3) transform(s) ``(4, 4)`` or ``(B, 4, 4)``
+        (reference pointclouds.py:526)."""
+        transform = jnp.asarray(transform)
+        if transform.shape[-2:] != (4, 4):
+            raise ValueError(
+                f"transform must have shape (*, 4, 4). Got {transform.shape}."
+            )
+        return dataclasses.replace(
+            self,
+            points=transform_pointcloud(self.points, transform),
+            normals=(
+                transform_normals(self.normals, transform)
+                if self.normals is not None
+                else None
+            ),
+        )
+
+    def pinhole_projection(self, intrinsics) -> "Pointclouds":
+        """Project points onto the z=1 plane: each point becomes ``(u, v, 1)``,
+        zeroed on padding (reference pointclouds.py:575-613)."""
+        intrinsics = jnp.asarray(intrinsics)
+        if intrinsics.shape[-2:] != (4, 4):
+            raise ValueError(
+                f"intrinsics must have shape (*, 4, 4). Got {intrinsics.shape}."
+            )
+        projected_2d = projutils.project_points(self.points, intrinsics)
+        projected = projutils.homogenize_points(projected_2d)
+        projected = projected * self.nonpad_mask[..., None].astype(projected.dtype)
+        return dataclasses.replace(self, points=projected)
+
+    def __add__(self, other):
+        return self.offset(other)
+
+    def __sub__(self, other):
+        return self.offset(-jnp.asarray(other))
+
+    def __mul__(self, other):
+        return self.scale(other)
+
+    def __truediv__(self, other):
+        return self.scale(1.0 / jnp.asarray(other))
+
+    # ------------------------------------------------------------------ #
+    # Map growth (the reference's append_points, pointclouds.py:1117)
+    # ------------------------------------------------------------------ #
+    def append_masked(
+        self,
+        points: jnp.ndarray,
+        mask: jnp.ndarray,
+        normals: Optional[jnp.ndarray] = None,
+        colors: Optional[jnp.ndarray] = None,
+        features: Optional[jnp.ndarray] = None,
+    ) -> "Pointclouds":
+        """Append masked rows of ``points (B, M, 3)`` into the free region of
+        the buffer. Static-shape equivalent of ragged ``append_points``:
+        destination slots are ``num_points + cumsum(mask) - 1``; rows that
+        would exceed capacity are dropped. Differentiable.
+        """
+        B, M = mask.shape
+        cap = self.capacity
+        dest = self.num_points[:, None] + jnp.cumsum(mask.astype(jnp.int32), -1) - 1
+        dest = jnp.where(mask & (dest < cap), dest, cap)  # park drops OOB
+        bidx = jnp.broadcast_to(jnp.arange(B)[:, None], (B, M))
+
+        def scat(buf, new):
+            if buf is None or new is None:
+                return buf
+            return buf.at[bidx, dest].set(new.astype(buf.dtype), mode="drop")
+
+        appended = jnp.sum((dest < cap).astype(jnp.int32), axis=-1)
+        return Pointclouds(
+            points=scat(self.points, points),
+            num_points=self.num_points + appended,
+            normals=scat(self.normals, normals),
+            colors=scat(self.colors, colors),
+            features=scat(self.features, features),
+        )
+
+    def append_points(self, other: "Pointclouds") -> "Pointclouds":
+        """Append another Pointclouds' live points (API parity with the
+        reference pointclouds.py:1117)."""
+        return self.append_masked(
+            other.points,
+            other.nonpad_mask,
+            normals=other.normals,
+            colors=other.colors,
+            features=other.features,
+        )
+
+    # ------------------------------------------------------------------ #
+    # Export / viz (host-side, optional deps)
+    # ------------------------------------------------------------------ #
+    def open3d(self, index: int):
+        """Export batch element ``index`` as an ``open3d.geometry.PointCloud``
+        (parity with reference pointclouds.py:1239). Requires open3d."""
+        import open3d as o3d  # optional dep; never imported at package root
+
+        pcd = o3d.geometry.PointCloud()
+        pcd.points = o3d.utility.Vector3dVector(
+            np.asarray(self.points_list[index], dtype=np.float64)
+        )
+        if self.normals is not None:
+            pcd.normals = o3d.utility.Vector3dVector(
+                np.asarray(self.normals_list[index], dtype=np.float64)
+            )
+        if self.colors is not None:
+            colors = np.asarray(self.colors_list[index], dtype=np.float64)
+            if colors.size and colors.max() > 1.001:
+                colors = colors / 255.0
+            pcd.colors = o3d.utility.Vector3dVector(colors)
+        return pcd
+
+    def plotly(self, index: int, max_num_points: int = 200000, marker_size: int = 2):
+        """Export batch element ``index`` as a plotly Scatter3d figure
+        (parity with reference pointclouds.py:1296). Requires plotly."""
+        import plotly.graph_objects as go  # optional dep
+
+        pts = self.points_list[index][:max_num_points]
+        marker = dict(size=marker_size)
+        if self.colors is not None:
+            colors = self.colors_list[index][:max_num_points]
+            if colors.size and colors.max() <= 1.001:
+                colors = colors * 255.0
+            colors = colors.astype(np.uint8)
+            marker["color"] = [f"rgb({r},{g},{b})" for r, g, b in colors]
+        scatter = go.Scatter3d(
+            x=pts[:, 0], y=pts[:, 1], z=pts[:, 2], mode="markers", marker=marker
+        )
+        return go.Figure(data=[scatter])
+
+
+# Re-export the compaction helper for structure/fusion internals.
+compact_masked = _compact_masked

@@ -1,0 +1,168 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gradslam_tpu.geometry import se3_exp, transform_pointcloud
+from gradslam_tpu.structures import Pointclouds, RGBDImages, pointclouds_from_rgbdimages
+
+
+def make_clouds():
+    rng = np.random.RandomState(0)
+    pts = [rng.randn(5, 3).astype(np.float32), rng.randn(3, 3).astype(np.float32)]
+    nrm = [rng.randn(5, 3).astype(np.float32), rng.randn(3, 3).astype(np.float32)]
+    col = [rng.rand(5, 3).astype(np.float32), rng.rand(3, 3).astype(np.float32)]
+    return pts, nrm, col
+
+
+class TestConstruction:
+    def test_from_list(self):
+        pts, nrm, col = make_clouds()
+        pc = Pointclouds.from_list(pts, normals=nrm, colors=col, capacity=8)
+        assert pc.points.shape == (2, 8, 3)
+        np.testing.assert_array_equal(np.asarray(pc.num_points), [5, 3])
+        np.testing.assert_allclose(pc.points_list[0], pts[0])
+        np.testing.assert_allclose(pc.points_list[1], pts[1])
+        np.testing.assert_allclose(pc.normals_list[1], nrm[1])
+
+    def test_empty(self):
+        pc = Pointclouds.empty(2, 16)
+        assert not pc.has_points
+        assert pc.capacity == 16
+        assert np.all(~np.asarray(pc.nonpad_mask))
+
+    def test_nonpad_mask(self):
+        pts, _, _ = make_clouds()
+        pc = Pointclouds.from_list(pts, capacity=8)
+        mask = np.asarray(pc.nonpad_mask)
+        assert mask[0].sum() == 5 and mask[1].sum() == 3
+        assert mask[0, :5].all() and not mask[0, 5:].any()
+
+    def test_raises_bad_shape(self):
+        with pytest.raises(ValueError):
+            Pointclouds(points=jnp.zeros((2, 8, 4)), num_points=jnp.zeros(2, jnp.int32))
+
+
+class TestOps:
+    def test_transform_matches_pointcloud_transform(self):
+        pts, nrm, _ = make_clouds()
+        pc = Pointclouds.from_list(pts, normals=nrm, capacity=8)
+        T = se3_exp(jnp.asarray([0.1, -0.2, 0.3, 0.2, -0.1, 0.15]))
+        out = pc.transform(T)
+        np.testing.assert_allclose(
+            out.points_list[0], np.asarray(transform_pointcloud(jnp.asarray(pts[0]), T)),
+            atol=1e-5,
+        )
+
+    def test_offset_scale_operators(self):
+        pts, _, _ = make_clouds()
+        pc = Pointclouds.from_list(pts, capacity=8)
+        shifted = pc + jnp.asarray([1.0, 2.0, 3.0])
+        np.testing.assert_allclose(shifted.points_list[0], pts[0] + [1, 2, 3], atol=1e-6)
+        # padding slots must stay zero
+        assert np.allclose(np.asarray(shifted.points)[0, 5:], 0.0)
+        scaled = pc * 2.0
+        np.testing.assert_allclose(scaled.points_list[1], pts[1] * 2.0, atol=1e-6)
+
+    def test_pinhole_projection(self):
+        K = np.eye(4, dtype=np.float32)
+        K[0, 0], K[1, 1], K[0, 2], K[1, 2] = 100.0, 100.0, 50.0, 50.0
+        pts = [np.array([[0.0, 0.0, 2.0], [1.0, 1.0, 2.0]], dtype=np.float32)]
+        pc = Pointclouds.from_list(pts, capacity=4)
+        out = pc.pinhole_projection(jnp.asarray(K))
+        np.testing.assert_allclose(
+            out.points_list[0], [[50.0, 50.0, 1.0], [100.0, 100.0, 1.0]], atol=1e-4
+        )
+        assert np.allclose(np.asarray(out.points)[0, 2:], 0.0)
+
+    def test_rotate(self):
+        pts, nrm, _ = make_clouds()
+        pc = Pointclouds.from_list(pts, normals=nrm, capacity=8)
+        R = np.asarray(se3_exp(jnp.asarray([0, 0, 0, 0.3, 0.2, 0.1])))[:3, :3]
+        out = pc.rotate(jnp.asarray(R))
+        np.testing.assert_allclose(out.points_list[0], pts[0] @ R.T, atol=1e-5)
+        np.testing.assert_allclose(out.normals_list[0], nrm[0] @ R.T, atol=1e-5)
+
+
+class TestAppend:
+    def test_append_points(self):
+        pts, nrm, col = make_clouds()
+        a = Pointclouds.from_list(pts, normals=nrm, colors=col, capacity=16)
+        b = Pointclouds.from_list(pts, normals=nrm, colors=col, capacity=8)
+        out = a.append_points(b)
+        np.testing.assert_array_equal(np.asarray(out.num_points), [10, 6])
+        np.testing.assert_allclose(out.points_list[0], np.concatenate([pts[0], pts[0]]))
+        np.testing.assert_allclose(out.colors_list[1], np.concatenate([col[1], col[1]]))
+
+    def test_append_masked_overflow_drops(self):
+        pc = Pointclouds.empty(1, 4, has_normals=False, has_colors=False, feature_dim=None)
+        new = jnp.arange(18, dtype=jnp.float32).reshape(1, 6, 3)
+        mask = jnp.ones((1, 6), dtype=bool)
+        out = pc.append_masked(new, mask)
+        assert int(out.num_points[0]) == 4
+        np.testing.assert_allclose(np.asarray(out.points[0]), np.asarray(new[0, :4]))
+
+    def test_append_masked_respects_mask(self):
+        pc = Pointclouds.empty(1, 8, has_normals=False, has_colors=False, feature_dim=None)
+        new = jnp.arange(12, dtype=jnp.float32).reshape(1, 4, 3)
+        mask = jnp.asarray([[True, False, True, False]])
+        out = pc.append_masked(new, mask)
+        assert int(out.num_points[0]) == 2
+        np.testing.assert_allclose(
+            np.asarray(out.points[0, :2]), np.asarray(new[0, [0, 2]])
+        )
+
+    def test_append_differentiable(self):
+        pc = Pointclouds.empty(1, 8, has_normals=False, has_colors=False, feature_dim=None)
+        new = jnp.ones((1, 4, 3))
+        mask = jnp.ones((1, 4), dtype=bool)
+
+        def loss(x):
+            return jnp.sum(pc.append_masked(x, mask).points ** 2)
+
+        g = jax.grad(loss)(new)
+        assert np.all(np.isfinite(np.asarray(g)))
+        assert float(jnp.abs(g).max()) > 0
+
+    def test_append_jit_and_scan_compatible(self):
+        pc = Pointclouds.empty(1, 32, has_normals=False, has_colors=False, feature_dim=None)
+        frames = jnp.ones((4, 1, 4, 3))
+        masks = jnp.ones((4, 1, 4), dtype=bool)
+
+        def step(carry, xs):
+            f, m = xs
+            return carry.append_masked(f, m), None
+
+        out, _ = jax.lax.scan(step, pc, (frames, masks))
+        assert int(out.num_points[0]) == 16
+
+
+class TestFromRGBD:
+    def test_pointclouds_from_rgbdimages(self, msrd):
+        frames = RGBDImages(
+            rgb_image=jnp.asarray(msrd["colors"]),
+            depth_image=jnp.asarray(msrd["depths"]),
+            intrinsics=jnp.asarray(msrd["intrinsics"]),
+            poses=jnp.asarray(msrd["poses"]),
+        )
+        pc = pointclouds_from_rgbdimages(frames[:, 0])
+        valid = (msrd["depths"][:, 0, ..., 0] > 0).reshape(2, -1)
+        np.testing.assert_array_equal(np.asarray(pc.num_points), valid.sum(-1))
+        # first batch: compacted points equal masked golden global vertex map
+        golden = msrd["global_vertex_map"][:, 0].reshape(2, -1, 3)
+        for b in range(2):
+            np.testing.assert_allclose(
+                pc.points_list[b], golden[b][valid[b]], atol=1e-4
+            )
+
+    def test_local_coordinates(self, msrd):
+        frames = RGBDImages(
+            rgb_image=jnp.asarray(msrd["colors"]),
+            depth_image=jnp.asarray(msrd["depths"]),
+            intrinsics=jnp.asarray(msrd["intrinsics"]),
+            poses=jnp.asarray(msrd["poses"]),
+        )
+        pc = pointclouds_from_rgbdimages(frames[:, 0], global_coordinates=False)
+        valid = (msrd["depths"][:, 0, ..., 0] > 0).reshape(2, -1)
+        golden = msrd["vertex_map"][:, 0].reshape(2, -1, 3)
+        np.testing.assert_allclose(pc.points_list[0], golden[0][valid[0]], atol=1e-4)
