@@ -54,9 +54,11 @@ def _rodrigues_coefficients(omega: jnp.ndarray):
     """Return (A, B, C) Rodrigues coefficients with the reference's small-angle
     fallback, computed branch-free for differentiability."""
     theta_sq = jnp.sum(omega * omega, axis=-1)
-    theta = jnp.sqrt(jnp.maximum(theta_sq, 0.0))
-    small = theta < _EPS
-    safe_theta = jnp.where(small, jnp.ones_like(theta), theta)
+    small = theta_sq < _EPS**2
+    # Double-where: sqrt must never see 0, or its inf gradient poisons the
+    # selected branch through the chain rule.
+    safe_theta = jnp.sqrt(jnp.where(small, jnp.ones_like(theta_sq), theta_sq))
+    theta = jnp.where(small, jnp.zeros_like(safe_theta), safe_theta)
     s, c = jnp.sin(safe_theta), jnp.cos(safe_theta)
     A = jnp.where(small, jnp.ones_like(theta), s / safe_theta)
     B = jnp.where(small, jnp.zeros_like(theta), (1.0 - c) / safe_theta**2)
