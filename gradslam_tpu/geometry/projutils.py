@@ -88,10 +88,11 @@ def project_points(cam_coords, proj_mat, eps: float = 1e-6) -> jnp.ndarray:
         raise ValueError(
             f"Input proj_mat must have shape (*, 4, 4). Got {proj_mat.shape}."
         )
-    if proj_mat.ndim > 2 and proj_mat.ndim != cam_coords.ndim + 1:
+    if proj_mat.ndim > 2 and proj_mat.ndim != cam_coords.ndim:
         raise ValueError(
-            "Batched proj_mat must have ndim equal to cam_coords.ndim + 1. "
-            f"Got {proj_mat.ndim} and {cam_coords.ndim}."
+            "Batched proj_mat must have ndim equal to cam_coords.ndim (one "
+            f"(4, 4) matrix per batch of points). Got {proj_mat.ndim} and "
+            f"{cam_coords.ndim}."
         )
     if cam_coords.shape[-1] == 3:
         cam_coords = homogenize_points(cam_coords)

@@ -1,0 +1,25 @@
+from .base import OdometryProvider
+from .groundtruth import GroundTruthOdometryProvider
+from .gradicp import GradICPOdometryProvider
+from .icp import ICPOdometryProvider
+from .icputils import (
+    downsample_pointclouds,
+    downsample_rgbdimages,
+    gauss_newton_solve,
+    point_to_plane_ICP,
+    point_to_plane_gradICP,
+    solve_linear_system,
+)
+
+__all__ = [
+    "OdometryProvider",
+    "GroundTruthOdometryProvider",
+    "ICPOdometryProvider",
+    "GradICPOdometryProvider",
+    "solve_linear_system",
+    "gauss_newton_solve",
+    "point_to_plane_ICP",
+    "point_to_plane_gradICP",
+    "downsample_pointclouds",
+    "downsample_rgbdimages",
+]

@@ -1,0 +1,87 @@
+r"""GradICP odometry provider (TPU-native).
+
+Parity with ``/root/reference/gradslam/odometry/gradicp.py:12`` (gradLM
+smooth-damping solver; params lambda_max=2.0, B=1.0, B2=1.0, nu=200.0), with
+the batch Python loop (gradicp.py:104-120) replaced by ``vmap``.
+"""
+
+from __future__ import annotations
+
+from typing import Union
+
+import jax
+import jax.numpy as jnp
+
+from ..structures.pointclouds import Pointclouds
+from .base import OdometryProvider
+from .icputils import point_to_plane_gradICP
+
+__all__ = ["GradICPOdometryProvider"]
+
+
+class GradICPOdometryProvider(OdometryProvider):
+    r"""Differentiable ICP using the gradLM solver — gradients flow through the
+    solver trajectory back to the input clouds."""
+
+    def __init__(
+        self,
+        numiters: int = 20,
+        damp: float = 1e-8,
+        dist_thresh: Union[float, int, None] = None,
+        lambda_max: Union[float, int] = 2.0,
+        B: Union[float, int] = 1.0,
+        B2: Union[float, int] = 1.0,
+        nu: Union[float, int] = 200.0,
+    ):
+        self.numiters = numiters
+        self.damp = damp
+        self.dist_thresh = dist_thresh
+        self.lambda_max = lambda_max
+        self.B = B
+        self.B2 = B2
+        self.nu = nu
+
+    def provide(
+        self,
+        maps_pointclouds: Pointclouds,
+        frames_pointclouds: Pointclouds,
+    ) -> jnp.ndarray:
+        r"""Relative transforms ``(B, 1, 4, 4)`` aligning each live-frame cloud
+        to its global map cloud."""
+        if maps_pointclouds.normals is None:
+            raise ValueError(
+                "maps_pointclouds missing normals. Map normals must be provided "
+                "if using GradICPOdometryProvider."
+            )
+        if len(maps_pointclouds) != len(frames_pointclouds):
+            raise ValueError(
+                "Batch size of maps_pointclouds and frames_pointclouds should be "
+                f"equal ({len(maps_pointclouds)} != {len(frames_pointclouds)})."
+            )
+
+        def solve_one(src, src_mask, tgt, tgt_normals, tgt_mask):
+            transform, _ = point_to_plane_gradICP(
+                src,
+                tgt,
+                tgt_normals,
+                initial_transform=jnp.eye(4, dtype=src.dtype),
+                numiters=self.numiters,
+                damp=self.damp,
+                dist_thresh=self.dist_thresh,
+                lambda_max=self.lambda_max,
+                B=self.B,
+                B2=self.B2,
+                nu=self.nu,
+                src_mask=src_mask,
+                tgt_mask=tgt_mask,
+            )
+            return transform
+
+        transforms = jax.vmap(solve_one)(
+            frames_pointclouds.points,
+            frames_pointclouds.nonpad_mask,
+            maps_pointclouds.points,
+            maps_pointclouds.normals,
+            maps_pointclouds.nonpad_mask,
+        )
+        return transforms[:, None]

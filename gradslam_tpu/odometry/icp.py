@@ -1,0 +1,75 @@
+r"""Point-to-plane ICP odometry provider (TPU-native).
+
+Parity with ``/root/reference/gradslam/odometry/icp.py:12``, but where the
+reference loops over the batch in Python (icp.py:84-95), this provider
+``vmap``s the whole masked ICP solve over the batch axis — all sequences in a
+batch solve in parallel on-chip.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+
+from ..structures.pointclouds import Pointclouds
+from .base import OdometryProvider
+from .icputils import point_to_plane_ICP
+
+__all__ = ["ICPOdometryProvider"]
+
+
+class ICPOdometryProvider(OdometryProvider):
+    r"""ICP odometry using the point-to-plane error and an LM solver."""
+
+    def __init__(
+        self,
+        numiters: int = 20,
+        damp: float = 1e-8,
+        dist_thresh: Union[float, int, None] = None,
+    ):
+        self.numiters = numiters
+        self.damp = damp
+        self.dist_thresh = dist_thresh
+
+    def provide(
+        self,
+        maps_pointclouds: Pointclouds,
+        frames_pointclouds: Pointclouds,
+    ) -> jnp.ndarray:
+        r"""Relative transforms ``(B, 1, 4, 4)`` aligning each live-frame cloud
+        to its global map cloud."""
+        if maps_pointclouds.normals is None:
+            raise ValueError(
+                "maps_pointclouds missing normals. Map normals must be provided "
+                "if using ICPOdometryProvider."
+            )
+        if len(maps_pointclouds) != len(frames_pointclouds):
+            raise ValueError(
+                "Batch size of maps_pointclouds and frames_pointclouds should be "
+                f"equal ({len(maps_pointclouds)} != {len(frames_pointclouds)})."
+            )
+
+        def solve_one(src, src_mask, tgt, tgt_normals, tgt_mask):
+            transform, _ = point_to_plane_ICP(
+                src,
+                tgt,
+                tgt_normals,
+                initial_transform=jnp.eye(4, dtype=src.dtype),
+                numiters=self.numiters,
+                damp=self.damp,
+                dist_thresh=self.dist_thresh,
+                src_mask=src_mask,
+                tgt_mask=tgt_mask,
+            )
+            return transform
+
+        transforms = jax.vmap(solve_one)(
+            frames_pointclouds.points,
+            frames_pointclouds.nonpad_mask,
+            maps_pointclouds.points,
+            maps_pointclouds.normals,
+            maps_pointclouds.nonpad_mask,
+        )
+        return transforms[:, None]

@@ -1,0 +1,279 @@
+r"""Point-to-plane ICP / GradICP solver toolbox (TPU-native).
+
+Re-design of ``/root/reference/gradslam/odometry/icputils.py`` for XLA's
+trace-once model:
+
+- KNN association uses the TPU :mod:`gradslam_tpu.ops.knn` kernel instead of
+  the chamferdist CUDA extension (reference :3, :200).
+- The reference filters source rows by distance threshold into dynamic-length
+  ``A``/``b`` systems (:203-230); here rows stay static-shaped and invalid rows
+  are *zeroed*, so they contribute nothing to the ``A^T A`` normal equations.
+- The normal equations are solved with a batched 6x6 ``jnp.linalg.solve``
+  rather than an explicit inverse (reference :90).
+- The LM accept/reject branch (:356-365) becomes ``jnp.where`` selects; the
+  gradLM update (:496-543) is already branch-free and maps directly.
+- The iteration loop is a ``lax.scan`` — one trace, ``numiters`` iterations.
+- Downsampling keeps static shapes: strided slicing for frames (:654-667) and
+  masked compaction into a fixed-capacity buffer for maps (:596-597).
+
+All solvers operate on a single cloud pair ``(N, 3)`` with validity masks and
+are designed to be ``vmap``-ed over the batch (the reference serialises over
+batch in Python — odometry/icp.py:84-95).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry.geometryutils import transform_pointcloud
+from ..geometry.se3utils import se3_exp
+from ..ops.knn import nn_points
+from ..structures.pointclouds import Pointclouds, compact_masked
+from ..structures.rgbdimages import RGBDImages
+from ..utils.precision import HIGHEST, matmul_hp
+
+__all__ = [
+    "solve_linear_system",
+    "gauss_newton_solve",
+    "point_to_plane_ICP",
+    "point_to_plane_gradICP",
+    "downsample_pointclouds",
+    "downsample_rgbdimages",
+]
+
+
+def solve_linear_system(A: jnp.ndarray, b: jnp.ndarray, damp=1e-8) -> jnp.ndarray:
+    r"""Solve the damped normal equations ``(A^T A + damp I) x = A^T b``.
+
+    ``A (N, 6)``, ``b (N, 1)`` — invalid rows must be zeroed by the caller so
+    they contribute nothing. Uses a 6x6 linear solve instead of the reference's
+    explicit inverse (icputils.py:90).
+    """
+    A = jnp.asarray(A)
+    b = jnp.asarray(b)
+    if A.ndim != 2:
+        raise ValueError(f"A should have ndim=2, but had ndim={A.ndim}")
+    if b.ndim != 2 or b.shape[1] != 1:
+        raise ValueError(f"b should have shape (N, 1), but had {b.shape}")
+    if A.shape[0] != b.shape[0]:
+        raise ValueError(
+            f"A.shape[0] and b.shape[0] should be equal ({A.shape[0]} != {b.shape[0]})"
+        )
+    damp = jnp.asarray(damp, dtype=A.dtype)
+    AtA = matmul_hp(A.T, A) + damp * jnp.eye(A.shape[1], dtype=A.dtype)
+    Atb = matmul_hp(A.T, b)
+    return jnp.linalg.solve(AtA, Atb)
+
+
+def gauss_newton_solve(
+    src_pc: jnp.ndarray,  # (N, 3)
+    tgt_pc: jnp.ndarray,  # (M, 3)
+    tgt_normals: jnp.ndarray,  # (M, 3)
+    src_mask: Optional[jnp.ndarray] = None,  # (N,) bool
+    tgt_mask: Optional[jnp.ndarray] = None,  # (M,) bool
+    dist_thresh: Optional[float] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    r"""Linearise the point-to-plane error around the current source cloud.
+
+    Returns ``(A, b, chamfer_idx)`` with ``A (N, 6)``, ``b (N, 1)``; rows for
+    masked-out or distance-filtered source points are zero (the reference
+    instead drops them into a dynamic-length system, icputils.py:203-230).
+    ``A = [n | s x n]``, ``b = n . (d - s)`` (icputils.py:227-230).
+    """
+    dists, idx = nn_points(src_pc, tgt_pc, tgt_mask)
+    valid = jnp.ones(src_pc.shape[0], dtype=bool) if src_mask is None else src_mask
+    if dist_thresh is not None:
+        valid = valid & (dists < dist_thresh)
+
+    assoc_pts = jnp.take(tgt_pc, idx, axis=0)  # (N, 3)
+    assoc_normals = jnp.take(tgt_normals, idx, axis=0)
+
+    s = src_pc
+    n = assoc_normals
+    sxn = jnp.cross(s, n)  # rows [nz*sy - ny*sz, nx*sz - nz*sx, ny*sx - nx*sy]
+    A = jnp.concatenate([n, sxn], axis=-1)  # (N, 6)
+    b = jnp.sum(n * (assoc_pts - s), axis=-1, keepdims=True)  # (N, 1)
+    validf = valid[:, None].astype(A.dtype)
+    return A * validf, b * validf, idx
+
+
+class _ICPState(NamedTuple):
+    src_pc: jnp.ndarray
+    transform: jnp.ndarray
+    damp: jnp.ndarray
+
+
+def _icp_common_setup(src_pc, tgt_pc, tgt_normals, initial_transform, damp):
+    src_pc = jnp.asarray(src_pc)
+    tgt_pc = jnp.asarray(tgt_pc)
+    tgt_normals = jnp.asarray(tgt_normals)
+    if src_pc.ndim == 3:  # accept the reference's (1, N, 3) convention
+        src_pc = src_pc[0]
+    if tgt_pc.ndim == 3:
+        tgt_pc = tgt_pc[0]
+    if tgt_normals.ndim == 3:
+        tgt_normals = tgt_normals[0]
+    if initial_transform is None:
+        initial_transform = jnp.eye(4, dtype=src_pc.dtype)
+    initial_transform = jnp.asarray(initial_transform)
+    src0 = transform_pointcloud(src_pc, initial_transform)
+    damp = jnp.asarray(damp, dtype=src_pc.dtype)
+    return src0, tgt_pc, tgt_normals, initial_transform, damp
+
+
+def point_to_plane_ICP(
+    src_pc,
+    tgt_pc,
+    tgt_normals,
+    initial_transform=None,
+    numiters: int = 20,
+    damp: float = 1e-8,
+    dist_thresh: Optional[float] = None,
+    src_mask: Optional[jnp.ndarray] = None,
+    tgt_mask: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    r"""Point-to-plane ICP with the classic LM accept/reject loop
+    (reference icputils.py:235-366), trust-region branch as ``where`` selects.
+
+    Returns ``(transform (4, 4), chamfer_idx (N,))``.
+    """
+    src0, tgt_pc, tgt_normals, init_T, damp0 = _icp_common_setup(
+        src_pc, tgt_pc, tgt_normals, initial_transform, damp
+    )
+
+    def gn(pc):
+        return gauss_newton_solve(pc, tgt_pc, tgt_normals, src_mask, tgt_mask, dist_thresh)
+
+    def body(state: _ICPState, _):
+        A, b, idx = gn(state.src_pc)
+        xi = solve_linear_system(A, b, state.damp)
+        residual_transform = se3_exp(xi)
+        err = jnp.sum(b * b)
+        one_step_pc = transform_pointcloud(state.src_pc, residual_transform)
+        _, b1, _ = gn(one_step_pc)
+        new_err = jnp.sum(b1 * b1)
+        accept = new_err < err
+        new_state = _ICPState(
+            src_pc=jnp.where(accept, one_step_pc, state.src_pc),
+            transform=jnp.where(
+                accept, matmul_hp(residual_transform, state.transform), state.transform
+            ),
+            damp=jnp.where(accept, state.damp / 2.0, state.damp * 2.0),
+        )
+        return new_state, idx
+
+    init = _ICPState(src_pc=src0, transform=init_T, damp=damp0)
+    final, idx_hist = jax.lax.scan(body, init, None, length=numiters)
+    return final.transform, idx_hist[-1]
+
+
+def point_to_plane_gradICP(
+    src_pc,
+    tgt_pc,
+    tgt_normals,
+    initial_transform=None,
+    numiters: int = 20,
+    damp: float = 1e-8,
+    dist_thresh: Optional[float] = None,
+    lambda_max: float = 2.0,
+    B: float = 1.0,
+    B2: float = 1.0,
+    nu: float = 200.0,
+    src_mask: Optional[jnp.ndarray] = None,
+    tgt_mask: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    r"""Differentiable gradLM ICP (gradSLAM paper sec. gradLM; reference
+    icputils.py:370-545). Smooth sigmoid-blended damping and step scaling;
+    always applies the scaled step (no reject branch), with the errdiff
+    clamped to +-70 for gradient flow (reference :530).
+
+    Returns ``(transform (4, 4), chamfer_idx (N,))``.
+    """
+    src0, tgt_pc, tgt_normals, init_T, damp0 = _icp_common_setup(
+        src_pc, tgt_pc, tgt_normals, initial_transform, damp
+    )
+    lambda_min = 1.0 / lambda_max
+
+    def gn(pc):
+        return gauss_newton_solve(pc, tgt_pc, tgt_normals, src_mask, tgt_mask, dist_thresh)
+
+    def body(state: _ICPState, _):
+        A, b, idx = gn(state.src_pc)
+        xi = solve_linear_system(A, b, state.damp)
+        residual_transform = se3_exp(xi)
+        err = jnp.sum(b * b)
+        one_step_pc = transform_pointcloud(state.src_pc, residual_transform)
+        _, b1, _ = gn(one_step_pc)
+        new_err = jnp.sum(b1 * b1)
+
+        errdiff = jnp.clip(new_err - err, -70.0, 70.0)
+        damp_new = lambda_min + (lambda_max - lambda_min) / (1.0 + jnp.exp(-B * errdiff))
+        new_damp = state.damp * damp_new
+        sigmoid = 1.0 / (1.0 + jnp.exp(-B2 * errdiff)) ** (1.0 / nu)
+        scaled_transform = se3_exp(sigmoid * xi[:, 0])
+        new_state = _ICPState(
+            src_pc=transform_pointcloud(state.src_pc, scaled_transform),
+            transform=matmul_hp(scaled_transform, state.transform),
+            damp=new_damp,
+        )
+        return new_state, idx
+
+    init = _ICPState(src_pc=src0, transform=init_T, damp=damp0)
+    final, idx_hist = jax.lax.scan(body, init, None, length=numiters)
+    return final.transform, idx_hist[-1]
+
+
+def downsample_pointclouds(
+    pointclouds: Pointclouds,
+    active_mask: jnp.ndarray,  # (B, CAP) bool
+    pix_h: jnp.ndarray,  # (B, CAP) int32
+    pix_w: jnp.ndarray,  # (B, CAP) int32
+    ds_ratio: int,
+    capacity: int,
+) -> Pointclouds:
+    r"""Keep active map points whose projected pixel is ``(0 mod ds)`` in both
+    axes (reference icputils.py:548-621), compacted into a fixed ``capacity``
+    buffer instead of ragged per-batch lists.
+    """
+    if not isinstance(ds_ratio, int):
+        raise TypeError(f"Expected ds_ratio to be of type int. Got {type(ds_ratio)}.")
+    keep = active_mask & (pix_h % ds_ratio == 0) & (pix_w % ds_ratio == 0)
+    points, counts = compact_masked(pointclouds.points, keep, capacity)
+    normals = None
+    colors = None
+    if pointclouds.normals is not None:
+        normals, _ = compact_masked(pointclouds.normals, keep, capacity)
+    if pointclouds.colors is not None:
+        colors, _ = compact_masked(pointclouds.colors, keep, capacity)
+    return Pointclouds(points=points, num_points=counts, normals=normals, colors=colors)
+
+
+def downsample_rgbdimages(rgbdimages: RGBDImages, ds_ratio: int) -> Pointclouds:
+    r"""Strided-subsample a sequence-length-1 frame into a Pointclouds
+    (reference icputils.py:623-669). Invalid-depth points are compacted out.
+    """
+    if not isinstance(rgbdimages, RGBDImages):
+        raise TypeError(
+            f"Expected rgbdimages to be of type RGBDImages. Got {type(rgbdimages)}."
+        )
+    if not isinstance(ds_ratio, int):
+        raise TypeError(f"Expected ds_ratio to be of type int. Got {type(ds_ratio)}.")
+    if rgbdimages.shape[1] != 1:
+        raise ValueError(
+            f"Sequence length of rgbdimages must be 1, but was {rgbdimages.shape[1]}."
+        )
+    B = len(rgbdimages)
+    mask = rgbdimages.valid_depth_mask[:, 0, ::ds_ratio, ::ds_ratio, 0]
+    pts = rgbdimages.global_vertex_map[:, 0, ::ds_ratio, ::ds_ratio]
+    nrm = rgbdimages.global_normal_map[:, 0, ::ds_ratio, ::ds_ratio]
+    col = rgbdimages.rgb_image[:, 0, ::ds_ratio, ::ds_ratio]
+    N = pts.shape[1] * pts.shape[2]
+    maskf = mask.reshape(B, N)
+    points, counts = compact_masked(pts.reshape(B, N, 3), maskf, N)
+    normals, _ = compact_masked(nrm.reshape(B, N, 3), maskf, N)
+    colors, _ = compact_masked(col.reshape(B, N, 3), maskf, N)
+    return Pointclouds(points=points, num_points=counts, normals=normals, colors=colors)

@@ -1,0 +1,253 @@
+r"""ICP-SLAM pipeline (TPU-native).
+
+Re-design of ``/root/reference/gradslam/slam/icpslam.py:18``. The reference is
+an ``nn.Module`` with a Python loop over the sequence dimension, a per-frame
+host->device transfer (icpslam.py:125-137), and batch-serial odometry. Here:
+
+- the frame recurrence is a single ``lax.scan`` over the sequence axis — the
+  whole SLAM run is one compiled XLA program;
+- the scan carry is ``(map buffers, previous pose)`` — an explicit pytree that
+  is trivially checkpointable;
+- the map is a fixed-capacity padded buffer (see ``Pointclouds``);
+- odometry is ``vmap``-ed over the batch;
+- both the scanned ``forward`` and the single-frame ``step`` (reference
+  icpslam.py:140) are exposed; both are jit-compiled.
+
+Gradients flow end-to-end: from the returned map/trajectory back to depth,
+color, and intrinsics.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry.geometryutils import compose_transformations
+from ..odometry.gradicp import GradICPOdometryProvider
+from ..odometry.icp import ICPOdometryProvider
+from ..odometry.icputils import downsample_pointclouds, downsample_rgbdimages
+from ..structures.pointclouds import Pointclouds
+from ..structures.rgbdimages import RGBDImages
+from .fusionutils import find_active_map_points, update_map_aggregate
+
+__all__ = ["ICPSLAM"]
+
+
+class ICPSLAM:
+    r"""ICP-SLAM: frame-to-map odometry + naive map aggregation.
+
+    Args:
+        odom: odometry method — 'gt', 'icp' or 'gradicp' (reference
+            icpslam.py:80-91).
+        dsratio: downsampling ratio applied to frames and map before ICP.
+        numiters / damp / dist_thresh: ICP solver parameters.
+        lambda_max / B / B2 / nu: gradLM parameters (odom='gradicp').
+        map_capacity: fixed capacity of the global map buffer; default is
+            ``L * H * W`` (the aggregate worst case) at call time.
+        icp_capacity: fixed capacity of the downsampled ICP target buffer;
+            default ``ceil(H/ds) * ceil(W/ds) * 2``.
+        use_jit: jit-compile forward/step (disable for debugging).
+    """
+
+    has_features = False  # aggregate maps carry no confidence channel
+
+    def __init__(
+        self,
+        *,
+        odom: str = "gradicp",
+        dsratio: int = 4,
+        numiters: int = 20,
+        damp: float = 1e-8,
+        dist_thresh: Optional[float] = None,
+        lambda_max: float = 2.0,
+        B: float = 1.0,
+        B2: float = 1.0,
+        nu: float = 200.0,
+        map_capacity: Optional[int] = None,
+        icp_capacity: Optional[int] = None,
+        use_jit: bool = True,
+    ):
+        if odom not in ("gt", "icp", "gradicp"):
+            raise ValueError(
+                f"Odometry method ({odom}) not supported for ICPSLAM. "
+                "Currently supported odometry modules for ICPSLAM are: "
+                "'gt', 'icp', 'gradicp'"
+            )
+        self.odom = odom
+        self.dsratio = dsratio
+        self.map_capacity = map_capacity
+        self.icp_capacity = icp_capacity
+        if odom == "icp":
+            self.odomprov = ICPOdometryProvider(numiters, damp, dist_thresh)
+        elif odom == "gradicp":
+            self.odomprov = GradICPOdometryProvider(
+                numiters, damp, dist_thresh, lambda_max, B, B2, nu
+            )
+        else:
+            self.odomprov = None
+        self._forward = jax.jit(self._forward_impl) if use_jit else self._forward_impl
+        self._step = jax.jit(self._step_impl) if use_jit else self._step_impl
+
+    # ------------------------------------------------------------------ #
+    # Public API
+    # ------------------------------------------------------------------ #
+    def __call__(self, frames: RGBDImages) -> Tuple[Pointclouds, jnp.ndarray]:
+        return self.forward(frames)
+
+    def forward(self, frames: RGBDImages) -> Tuple[Pointclouds, jnp.ndarray]:
+        r"""Run SLAM over a batch of sequences. Returns ``(pointclouds,
+        poses (B, L, 4, 4))`` (reference icpslam.py:99-138)."""
+        if not isinstance(frames, RGBDImages):
+            raise TypeError(
+                f"Expected frames to be of type RGBDImages. Got {type(frames)}."
+            )
+        if self.odom == "gt" and frames.poses is None:
+            raise ValueError("`frames` must have poses when `odom='gt'`.")
+        return self._forward(frames)
+
+    def step(
+        self,
+        pointclouds: Pointclouds,
+        live_frame: RGBDImages,
+        prev_frame: Optional[RGBDImages] = None,
+    ) -> Tuple[Pointclouds, jnp.ndarray]:
+        r"""Single online SLAM step (reference icpslam.py:140-178). If
+        ``prev_frame`` is None (or odom='gt'), uses the pose from
+        ``live_frame``; otherwise runs the odometry provider."""
+        if not isinstance(live_frame, RGBDImages):
+            raise TypeError(
+                f"Expected live_frame to be of type RGBDImages. Got {type(live_frame)}."
+            )
+        if prev_frame is not None and not isinstance(prev_frame, RGBDImages):
+            raise TypeError(
+                f"Expected prev_frame to be of type RGBDImages or None. "
+                f"Got {type(prev_frame)}."
+            )
+        if prev_frame is not None and self.odom != "gt" and prev_frame.poses is None:
+            raise ValueError("`prev_frame` should have poses, but did not.")
+        if (prev_frame is None or self.odom == "gt") and live_frame.poses is None:
+            raise ValueError(
+                "`live_frame` must have poses when `prev_frame` is None or `odom='gt'`."
+            )
+        if prev_frame is None or self.odom == "gt":
+            poses = live_frame.poses
+            new_map = self._map(pointclouds, live_frame)
+            return new_map, poses
+        return self._step(pointclouds, live_frame, prev_frame)
+
+    # ------------------------------------------------------------------ #
+    # Internals
+    # ------------------------------------------------------------------ #
+    def _default_map_capacity(self, frames: RGBDImages) -> int:
+        B, L, H, W = frames.shape
+        return self.map_capacity if self.map_capacity is not None else L * H * W
+
+    def _default_icp_capacity(self, H: int, W: int) -> int:
+        if self.icp_capacity is not None:
+            return self.icp_capacity
+        return 2 * math.ceil(H / self.dsratio) * math.ceil(W / self.dsratio)
+
+    def _empty_map(self, batch_size: int, capacity: int) -> Pointclouds:
+        return Pointclouds.empty(
+            batch_size,
+            capacity,
+            has_normals=True,
+            has_colors=True,
+            feature_dim=1 if self.has_features else None,
+        )
+
+    def _map(self, pointclouds: Pointclouds, live_frame: RGBDImages) -> Pointclouds:
+        r"""Map update — naive aggregation (reference icpslam.py:249-263).
+        Overridden by PointFusion."""
+        return update_map_aggregate(pointclouds, live_frame)
+
+    def _localize(
+        self,
+        pointclouds: Pointclouds,
+        live_frame: RGBDImages,
+        prev_frame: RGBDImages,
+    ) -> jnp.ndarray:
+        r"""Odometry: align the live frame against the (downsampled) active
+        map (reference icpslam.py:180-247). Returns poses ``(B, 1, 4, 4)``."""
+        B, _, H, W = live_frame.shape
+        live_frame = live_frame.with_poses(prev_frame.poses)
+        frames_pc = downsample_rgbdimages(live_frame, self.dsratio)
+        active = find_active_map_points(pointclouds, prev_frame)
+        maps_pc = downsample_pointclouds(
+            pointclouds,
+            active.valid,
+            active.pix_h,
+            active.pix_w,
+            self.dsratio,
+            self._default_icp_capacity(H, W),
+        )
+        transform = self.odomprov.provide(maps_pc, frames_pc)  # (B, 1, 4, 4)
+        return compose_transformations(
+            transform[:, 0], prev_frame.poses[:, 0]
+        )[:, None]
+
+    def _step_impl(self, pointclouds, live_frame, prev_frame):
+        poses = self._localize(pointclouds, live_frame, prev_frame)
+        live_frame = live_frame.with_poses(poses)
+        pointclouds = self._map(pointclouds, live_frame)
+        return pointclouds, poses
+
+    def _forward_impl(self, frames: RGBDImages):
+        B, L, H, W = frames.shape
+        capacity = self._default_map_capacity(frames)
+        map_pc = self._empty_map(B, capacity)
+        intrinsics = frames.intrinsics
+
+        if self.odom == "gt":
+            # Pure mapping under ground-truth poses: scan appends each frame.
+            rgb_l = jnp.moveaxis(frames.rgb_image, 1, 0)  # (L, B, H, W, 3)
+            depth_l = jnp.moveaxis(frames.depth_image, 1, 0)
+            poses_l = jnp.moveaxis(frames.poses, 1, 0)  # (L, B, 4, 4)
+
+            def body(map_pc, xs):
+                rgb, depth, pose = xs
+                live = RGBDImages(
+                    rgb[:, None], depth[:, None], intrinsics, pose[:, None]
+                )
+                return self._map(map_pc, live), pose
+
+            map_pc, poses_out = jax.lax.scan(body, map_pc, (rgb_l, depth_l, poses_l))
+            return map_pc, jnp.moveaxis(poses_out, 0, 1)
+
+        # ICP / GradICP odometry: bootstrap frame 0 with the provided (or
+        # identity) pose, then track frame-to-map.
+        if frames.poses is not None:
+            pose0 = frames.poses[:, 0]
+        else:
+            pose0 = jnp.broadcast_to(
+                jnp.eye(4, dtype=frames.depth_image.dtype), (B, 4, 4)
+            )
+        live0 = frames[:, 0].with_poses(pose0[:, None])
+        map_pc = self._map(map_pc, live0)
+
+        rgb_l = jnp.moveaxis(frames.rgb_image[:, 1:], 1, 0)
+        depth_l = jnp.moveaxis(frames.depth_image[:, 1:], 1, 0)
+
+        def body(carry, xs):
+            map_pc, prev_pose = carry
+            rgb, depth = xs
+            prev_proxy = RGBDImages(
+                rgb[:, None], depth[:, None], intrinsics, prev_pose[:, None]
+            )
+            live = RGBDImages(
+                rgb[:, None], depth[:, None], intrinsics, prev_pose[:, None]
+            )
+            poses = self._localize(map_pc, live, prev_proxy)  # (B, 1, 4, 4)
+            live = live.with_poses(poses)
+            map_pc = self._map(map_pc, live)
+            return (map_pc, poses[:, 0]), poses[:, 0]
+
+        (map_pc, _), poses_rest = jax.lax.scan(body, (map_pc, pose0), (rgb_l, depth_l))
+        poses_out = jnp.concatenate(
+            [pose0[:, None], jnp.moveaxis(poses_rest, 0, 1)], axis=1
+        )
+        return map_pc, poses_out

@@ -1,0 +1,78 @@
+r"""PointFusion pipeline (TPU-native).
+
+Parity with ``/root/reference/gradslam/slam/pointfusion.py:16``: ICPSLAM with
+the map update replaced by Keller et al. point-based fusion. Default
+parameters match the reference (``dist_th=0.05``, ``angle_th=20`` degrees,
+``sigma=0.6`` — pointfusion.py:53-105).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Union
+
+from ..structures.pointclouds import Pointclouds
+from ..structures.rgbdimages import RGBDImages
+from .fusionutils import update_map_fusion
+from .icpslam import ICPSLAM
+
+__all__ = ["PointFusion"]
+
+
+class PointFusion(ICPSLAM):
+    r"""Point-based fusion SLAM: projective data association + confidence
+    weighted map merging."""
+
+    has_features = True  # ccounts live in the map's feature channel
+
+    def __init__(
+        self,
+        *,
+        odom: str = "gradicp",
+        dist_th: Union[float, int] = 0.05,
+        angle_th: Union[float, int] = 20,
+        sigma: Union[float, int] = 0.6,
+        dsratio: int = 4,
+        numiters: int = 20,
+        damp: float = 1e-8,
+        dist_thresh: Optional[float] = None,
+        lambda_max: float = 2.0,
+        B: float = 1.0,
+        B2: float = 1.0,
+        nu: float = 200.0,
+        map_capacity: Optional[int] = None,
+        icp_capacity: Optional[int] = None,
+        use_jit: bool = True,
+    ):
+        super().__init__(
+            odom=odom,
+            dsratio=dsratio,
+            numiters=numiters,
+            damp=damp,
+            dist_thresh=dist_thresh,
+            lambda_max=lambda_max,
+            B=B,
+            B2=B2,
+            nu=nu,
+            map_capacity=map_capacity,
+            icp_capacity=icp_capacity,
+            use_jit=use_jit,
+        )
+        if dist_th < 0:
+            import warnings
+
+            warnings.warn(f"Distance threshold ({dist_th}) should be non-negative.")
+        if not (0 <= angle_th <= 90):
+            import warnings
+
+            warnings.warn(
+                f"Angle threshold ({angle_th}) should be non-negative and <=90."
+            )
+        self.dist_th = dist_th
+        self.dot_th = math.cos(angle_th * math.pi / 180.0)
+        self.sigma = sigma
+
+    def _map(self, pointclouds: Pointclouds, live_frame: RGBDImages) -> Pointclouds:
+        return update_map_fusion(
+            pointclouds, live_frame, self.dist_th, self.dot_th, self.sigma
+        )
