@@ -1,0 +1,17 @@
+from . import datautils, tumutils
+from .base import RGBDSequenceDataset, chunk_sequence
+from .icl import ICL
+from .scannet import Scannet, get_color_encoding, nyu40_to_scannet20
+from .tum import TUM
+
+__all__ = [
+    "TUM",
+    "ICL",
+    "Scannet",
+    "RGBDSequenceDataset",
+    "chunk_sequence",
+    "get_color_encoding",
+    "nyu40_to_scannet20",
+    "datautils",
+    "tumutils",
+]

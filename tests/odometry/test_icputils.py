@@ -1,0 +1,161 @@
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gradslam_tpu.geometry import se3_exp, transform_pointcloud
+from gradslam_tpu.odometry import (
+    gauss_newton_solve,
+    point_to_plane_ICP,
+    point_to_plane_gradICP,
+    solve_linear_system,
+)
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "..", "data", "ref_golden")
+
+
+def wavy_surface():
+    """Structured target surface with analytic normals."""
+    x, y = np.meshgrid(np.linspace(-1, 1, 40), np.linspace(-1, 1, 40))
+    z = 0.3 * np.sin(2 * x) + 0.2 * np.cos(3 * y) + 2.0
+    tgt = np.stack([x, y, z], -1).reshape(-1, 3).astype(np.float32)
+    nx = -0.6 * np.cos(2 * x)
+    ny = 0.6 * np.sin(3 * y)
+    nz = np.ones_like(x)
+    n = np.stack([nx, ny, nz], -1).reshape(-1, 3).astype(np.float32)
+    n /= np.linalg.norm(n, axis=-1, keepdims=True)
+    return tgt, n
+
+
+class TestSolveLinearSystem:
+    def test_matches_lstsq(self):
+        rng = np.random.RandomState(0)
+        A = rng.randn(100, 6).astype(np.float32)
+        b = rng.randn(100, 1).astype(np.float32)
+        x = solve_linear_system(jnp.asarray(A), jnp.asarray(b), damp=0.0)
+        expected, *_ = np.linalg.lstsq(A, b, rcond=None)
+        np.testing.assert_allclose(np.asarray(x), expected, atol=1e-3)
+
+    def test_raises(self):
+        with pytest.raises(ValueError):
+            solve_linear_system(jnp.zeros((10, 6, 1)), jnp.zeros((10, 1)))
+        with pytest.raises(ValueError):
+            solve_linear_system(jnp.zeros((10, 6)), jnp.zeros((10, 2)))
+        with pytest.raises(ValueError):
+            solve_linear_system(jnp.zeros((10, 6)), jnp.zeros((9, 1)))
+
+
+class TestGaussNewton:
+    def test_zero_at_optimum(self):
+        tgt, n = wavy_surface()
+        A, b, idx = gauss_newton_solve(jnp.asarray(tgt), jnp.asarray(tgt), jnp.asarray(n))
+        # at the optimum (src == tgt), residual is zero
+        np.testing.assert_allclose(np.asarray(b), 0.0, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(idx), np.arange(tgt.shape[0]))
+
+    def test_masked_rows_are_zero(self):
+        tgt, n = wavy_surface()
+        src = tgt + 0.01
+        mask = np.zeros(tgt.shape[0], dtype=bool)
+        mask[:5] = True
+        A, b, _ = gauss_newton_solve(
+            jnp.asarray(src), jnp.asarray(tgt), jnp.asarray(n),
+            src_mask=jnp.asarray(mask),
+        )
+        assert np.allclose(np.asarray(A)[5:], 0.0)
+        assert np.allclose(np.asarray(b)[5:], 0.0)
+        assert not np.allclose(np.asarray(A)[:5], 0.0)
+
+    def test_dist_thresh_filters(self):
+        tgt, n = wavy_surface()
+        src = np.array(tgt)
+        src[0] += 100.0  # outlier
+        A, b, _ = gauss_newton_solve(
+            jnp.asarray(src), jnp.asarray(tgt), jnp.asarray(n), dist_thresh=1.0
+        )
+        assert np.allclose(np.asarray(A)[0], 0.0)
+
+
+class TestICPRecovery:
+    @pytest.mark.parametrize("solver", [point_to_plane_ICP, point_to_plane_gradICP])
+    def test_recovers_known_transform(self, solver):
+        tgt, n = wavy_surface()
+        xi_true = jnp.asarray([0.02, -0.03, 0.01, 0.02, -0.015, 0.025])
+        T_true = se3_exp(xi_true)
+        src = transform_pointcloud(jnp.asarray(tgt), jnp.linalg.inv(T_true))
+        T, _ = solver(src, jnp.asarray(tgt), jnp.asarray(n), numiters=20)
+        np.testing.assert_allclose(np.asarray(T), np.asarray(T_true), atol=1e-4)
+
+    def test_recovery_with_masked_padding(self):
+        """Padded (masked-out) source and target rows must not affect the solve."""
+        tgt, n = wavy_surface()
+        xi_true = jnp.asarray([0.01, -0.02, 0.015, 0.01, -0.01, 0.02])
+        T_true = se3_exp(xi_true)
+        src = np.asarray(transform_pointcloud(jnp.asarray(tgt), jnp.linalg.inv(T_true)))
+        # pad with garbage
+        src_p = np.concatenate([src, np.full((100, 3), 77.0, np.float32)])
+        tgt_p = np.concatenate([tgt, np.full((50, 3), -55.0, np.float32)])
+        n_p = np.concatenate([n, np.zeros((50, 3), np.float32)])
+        src_mask = np.concatenate([np.ones(len(src), bool), np.zeros(100, bool)])
+        tgt_mask = np.concatenate([np.ones(len(tgt), bool), np.zeros(50, bool)])
+        T, _ = point_to_plane_ICP(
+            jnp.asarray(src_p), jnp.asarray(tgt_p), jnp.asarray(n_p),
+            numiters=20,
+            src_mask=jnp.asarray(src_mask), tgt_mask=jnp.asarray(tgt_mask),
+        )
+        np.testing.assert_allclose(np.asarray(T), np.asarray(T_true), atol=1e-4)
+
+    def test_gradicp_differentiable(self):
+        tgt, n = wavy_surface()
+        src = tgt + 0.01
+
+        def loss(s):
+            T, _ = point_to_plane_gradICP(s, jnp.asarray(tgt), jnp.asarray(n), numiters=3)
+            return jnp.sum(T[:3, 3] ** 2)
+
+        g = jax.grad(loss)(jnp.asarray(src))
+        assert np.all(np.isfinite(np.asarray(g)))
+        assert float(jnp.abs(g).max()) > 0
+
+    def test_jittable_and_vmappable(self):
+        tgt, n = wavy_surface()
+        src = np.stack([tgt + 0.01, tgt - 0.01]).astype(np.float32)
+        tgts = np.stack([tgt, tgt])
+        ns = np.stack([n, n])
+
+        @jax.jit
+        def solve(s, t, nn):
+            return jax.vmap(
+                lambda a, b, c: point_to_plane_ICP(a, b, c, numiters=3)[0]
+            )(s, t, nn)
+
+        T = solve(jnp.asarray(src), jnp.asarray(tgts), jnp.asarray(ns))
+        assert T.shape == (2, 4, 4)
+        assert np.all(np.isfinite(np.asarray(T)))
+
+
+class TestReferenceParity:
+    """Bit-level trajectory parity with the reference solvers, via goldens
+    generated by scripts/reference_shim.py."""
+
+    def test_icp_matches_reference(self):
+        src = np.load(os.path.join(GOLDEN, "icp_src.npy"))
+        tgt = np.load(os.path.join(GOLDEN, "icp_tgt.npy"))
+        n = np.load(os.path.join(GOLDEN, "icp_tgt_normals.npy"))
+        expected = np.load(os.path.join(GOLDEN, "icp_transform.npy"))
+        T, _ = point_to_plane_ICP(
+            jnp.asarray(src), jnp.asarray(tgt), jnp.asarray(n), numiters=10
+        )
+        np.testing.assert_allclose(np.asarray(T), expected, atol=1e-5)
+
+    def test_gradicp_matches_reference(self):
+        src = np.load(os.path.join(GOLDEN, "icp_src.npy"))
+        tgt = np.load(os.path.join(GOLDEN, "icp_tgt.npy"))
+        n = np.load(os.path.join(GOLDEN, "icp_tgt_normals.npy"))
+        expected = np.load(os.path.join(GOLDEN, "gradicp_transform.npy"))
+        T, _ = point_to_plane_gradICP(
+            jnp.asarray(src), jnp.asarray(tgt), jnp.asarray(n), numiters=10
+        )
+        np.testing.assert_allclose(np.asarray(T), expected, atol=1e-5)

@@ -1,0 +1,239 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gradslam_tpu.slam.fusionutils import (
+    ActiveMapPoints,
+    are_normals_similar,
+    are_points_close,
+    find_active_map_points,
+    find_best_unique_correspondences,
+    get_alpha,
+    update_map_aggregate,
+    update_map_fusion,
+)
+from gradslam_tpu.structures import Pointclouds, RGBDImages
+
+
+def tiny_frame(B=1, H=4, W=4, depth_value=1.0):
+    """A flat fronto-parallel plane at z=depth with identity pose and
+    unit-focal intrinsics centred at the image centre."""
+    rgb = jnp.ones((B, 1, H, W, 3)) * 0.5
+    depth = jnp.full((B, 1, H, W, 1), depth_value)
+    K = jnp.eye(4)
+    K = K.at[0, 2].set((W - 1) / 2.0).at[1, 2].set((H - 1) / 2.0)
+    intrinsics = jnp.broadcast_to(K, (B, 1, 4, 4))
+    poses = jnp.broadcast_to(jnp.eye(4), (B, 1, 4, 4))
+    return RGBDImages(rgb, depth, intrinsics, poses)
+
+
+class TestGetAlpha:
+    def test_formula(self):
+        pts = jnp.asarray([[0.0, 0.0, 0.0], [1.0, 0.0, 0.0]])
+        alpha = get_alpha(pts, sigma=0.6)
+        np.testing.assert_allclose(
+            np.asarray(alpha), [1.0, np.exp(-1 / (2 * 0.36))], atol=1e-6
+        )
+
+    def test_clamp(self):
+        pts = jnp.asarray([[100.0, 0.0, 0.0]])
+        assert float(get_alpha(pts, sigma=0.6)[0]) == pytest.approx(1e-7)
+
+    def test_raises(self):
+        with pytest.raises(ValueError):
+            get_alpha(jnp.zeros((5, 4)), sigma=0.6)
+
+
+class TestPredicates:
+    def test_are_points_close(self):
+        a = jnp.zeros((3, 3))
+        b = jnp.asarray([[0.0, 0, 0.01], [0, 0, 0.2], [0, 0, 0.04]])
+        np.testing.assert_array_equal(
+            np.asarray(are_points_close(a, b, 0.05)), [True, False, True]
+        )
+
+    def test_are_normals_similar(self):
+        a = jnp.asarray([[0.0, 0, 1.0], [0.0, 0, 1.0]])
+        b = jnp.asarray([[0.0, 0, 1.0], [1.0, 0, 0.0]])
+        np.testing.assert_array_equal(
+            np.asarray(are_normals_similar(a, b, 0.9)), [True, False]
+        )
+
+    def test_shape_mismatch_raises(self):
+        with pytest.raises(ValueError):
+            are_points_close(jnp.zeros((2, 3)), jnp.zeros((3, 3)), 0.1)
+
+
+class TestFindActiveMapPoints:
+    def test_points_project_where_expected(self):
+        frame = tiny_frame(H=4, W=4, depth_value=2.0)
+        # map points at z=2 in front of the camera, at pixel (h, w) = (1, 2):
+        # x = (u - cx) * z, y = (v - cy) * z with fx=fy=1
+        cx, cy = 1.5, 1.5
+        pts = jnp.asarray([[[(2 - cx) * 2.0, (1 - cy) * 2.0, 2.0]]])  # (1, 1, 3)
+        pc = Pointclouds(
+            points=pts, num_points=jnp.asarray([1], dtype=jnp.int32)
+        )
+        active = find_active_map_points(pc, frame)
+        assert bool(active.valid[0, 0])
+        assert int(active.pix_h[0, 0]) == 1
+        assert int(active.pix_w[0, 0]) == 2
+
+    def test_behind_camera_invalid(self):
+        frame = tiny_frame()
+        pts = jnp.asarray([[[0.0, 0.0, -1.0]]])
+        pc = Pointclouds(points=pts, num_points=jnp.asarray([1], dtype=jnp.int32))
+        active = find_active_map_points(pc, frame)
+        assert not bool(active.valid[0, 0])
+
+    def test_out_of_bounds_invalid(self):
+        frame = tiny_frame(H=4, W=4)
+        pts = jnp.asarray([[[100.0, 0.0, 1.0]]])
+        pc = Pointclouds(points=pts, num_points=jnp.asarray([1], dtype=jnp.int32))
+        active = find_active_map_points(pc, frame)
+        assert not bool(active.valid[0, 0])
+
+    def test_padding_invalid(self):
+        frame = tiny_frame()
+        pts = jnp.zeros((1, 4, 3)).at[:, :, 2].set(1.0)
+        pc = Pointclouds(points=pts, num_points=jnp.asarray([2], dtype=jnp.int32))
+        active = find_active_map_points(pc, frame)
+        np.testing.assert_array_equal(
+            np.asarray(active.valid[0]), [True, True, False, False]
+        )
+
+
+class TestWinnerSelection:
+    """Hand-computed winner tables (mirrors the reference's literal-table tests
+    tests/slam/test_fusionutils.py:672-785)."""
+
+    def _make(self, ccounts, ray_points, frame_point):
+        """All candidates project to pixel (0, 0) of a 2x2 frame."""
+        n = len(ccounts)
+        pts = jnp.asarray([ray_points])  # (1, n, 3)
+        pc = Pointclouds(
+            points=pts,
+            num_points=jnp.asarray([n], dtype=jnp.int32),
+            normals=jnp.zeros((1, n, 3)).at[..., 2].set(1.0),
+            colors=jnp.zeros((1, n, 3)),
+            features=jnp.asarray([[[c] for c in ccounts]]),
+        )
+        frame = tiny_frame(H=2, W=2)
+        # put the frame's (0,0) global vertex at frame_point by choosing depth
+        active = ActiveMapPoints(
+            valid=jnp.ones((1, n), dtype=bool),
+            pix_h=jnp.zeros((1, n), dtype=jnp.int32),
+            pix_w=jnp.zeros((1, n), dtype=jnp.int32),
+        )
+        return pc, frame, active
+
+    def test_max_ccount_wins(self):
+        pc, frame, active = self._make(
+            ccounts=[1.0, 3.0, 2.0],
+            ray_points=[[0, 0, 1.0]] * 3,
+            frame_point=[0, 0, 1.0],
+        )
+        winner, corr = find_best_unique_correspondences(pc, frame, active)
+        np.testing.assert_array_equal(np.asarray(winner[0]), [False, True, False])
+        assert bool(corr[0, 0])
+
+    def test_tie_break_min_ray_dist(self):
+        # frame vertex at pixel (0,0) is the backprojection of depth 1:
+        # ((0 - 0.5) * 1, (0 - 0.5) * 1, 1)
+        fp = [-0.5, -0.5, 1.0]
+        pc, frame, active = self._make(
+            ccounts=[2.0, 2.0, 2.0],
+            ray_points=[
+                [fp[0], fp[1], 1.3],  # dist 0.09
+                [fp[0], fp[1], 1.1],  # dist 0.01  <- winner
+                [fp[0], fp[1], 1.2],  # dist 0.04
+            ],
+            frame_point=fp,
+        )
+        winner, _ = find_best_unique_correspondences(pc, frame, active)
+        np.testing.assert_array_equal(np.asarray(winner[0]), [False, True, False])
+
+    def test_tie_break_min_index(self):
+        fp = [-0.5, -0.5, 1.0]
+        pc, frame, active = self._make(
+            ccounts=[2.0, 2.0],
+            ray_points=[[fp[0], fp[1], 1.1], [fp[0], fp[1], 1.1]],
+            frame_point=fp,
+        )
+        winner, _ = find_best_unique_correspondences(pc, frame, active)
+        np.testing.assert_array_equal(np.asarray(winner[0]), [True, False])
+
+    def test_uncorresponded_pixels(self):
+        pc, frame, active = self._make(
+            ccounts=[1.0], ray_points=[[0, 0, 1.0]], frame_point=[0, 0, 1.0]
+        )
+        winner, corr = find_best_unique_correspondences(pc, frame, active)
+        corr = np.asarray(corr).reshape(2, 2)
+        assert corr[0, 0] and not corr.ravel()[1:].any()
+
+
+class TestMapUpdates:
+    def test_aggregate_appends_valid_points(self, msrd):
+        frames = RGBDImages(
+            rgb_image=jnp.asarray(msrd["colors"]),
+            depth_image=jnp.asarray(msrd["depths"]),
+            intrinsics=jnp.asarray(msrd["intrinsics"]),
+            poses=jnp.asarray(msrd["poses"]),
+        )
+        pc = Pointclouds.empty(2, 120 * 160, feature_dim=None)
+        out = update_map_aggregate(pc, frames[:, 0])
+        valid = (msrd["depths"][:, 0] > 0).reshape(2, -1).sum(-1)
+        np.testing.assert_array_equal(np.asarray(out.num_points), valid)
+
+    def test_fusion_first_frame_appends_all(self, msrd):
+        frames = RGBDImages(
+            rgb_image=jnp.asarray(msrd["colors"]),
+            depth_image=jnp.asarray(msrd["depths"]),
+            intrinsics=jnp.asarray(msrd["intrinsics"]),
+            poses=jnp.asarray(msrd["poses"]),
+        )
+        pc = Pointclouds.empty(2, 120 * 160)
+        out = update_map_fusion(pc, frames[:, 0], 0.05, np.cos(np.radians(20)), 0.6)
+        valid = (msrd["depths"][:, 0] > 0).reshape(2, -1).sum(-1)
+        np.testing.assert_array_equal(np.asarray(out.num_points), valid)
+
+    def test_fusion_same_frame_twice_merges(self, msrd):
+        frames = RGBDImages(
+            rgb_image=jnp.asarray(msrd["colors"]),
+            depth_image=jnp.asarray(msrd["depths"]),
+            intrinsics=jnp.asarray(msrd["intrinsics"]),
+            poses=jnp.asarray(msrd["poses"]),
+        )
+        pc = Pointclouds.empty(2, 2 * 120 * 160)
+        out1 = update_map_fusion(pc, frames[:, 0], 0.05, np.cos(np.radians(20)), 0.6)
+        out2 = update_map_fusion(out1, frames[:, 0], 0.05, np.cos(np.radians(20)), 0.6)
+        # re-fusing the same frame should merge (almost) everything, not append
+        n1 = np.asarray(out1.num_points)
+        n2 = np.asarray(out2.num_points)
+        assert np.all(n2 <= n1 * 1.05)
+        # merged points keep their position (average of identical points)
+        np.testing.assert_allclose(
+            out2.points_list[0][: n1[0]][:100],
+            out1.points_list[0][:100],
+            atol=1e-4,
+        )
+
+    def test_fusion_differentiable(self, msrd):
+        frames = RGBDImages(
+            rgb_image=jnp.asarray(msrd["colors"][:1, :1]),
+            depth_image=jnp.asarray(msrd["depths"][:1, :1]),
+            intrinsics=jnp.asarray(msrd["intrinsics"][:1]),
+            poses=jnp.asarray(msrd["poses"][:1, :1]),
+        )
+        pc = Pointclouds.empty(1, 120 * 160)
+        pc = update_map_fusion(pc, frames, 0.05, np.cos(np.radians(20)), 0.6)
+
+        def loss(depth):
+            fr = RGBDImages(frames.rgb_image, depth, frames.intrinsics, frames.poses)
+            out = update_map_fusion(pc, fr, 0.05, np.cos(np.radians(20)), 0.6)
+            return jnp.sum(out.points**2)
+
+        g = jax.grad(loss)(frames.depth_image)
+        assert np.all(np.isfinite(np.asarray(g)))
+        assert float(jnp.abs(g).max()) > 0

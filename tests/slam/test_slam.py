@@ -1,0 +1,126 @@
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gradslam_tpu import ICPSLAM, PointFusion, Pointclouds, RGBDImages
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "..", "data", "ref_golden")
+
+
+def make_frames(msrd, B=2, L=3):
+    return RGBDImages(
+        rgb_image=jnp.asarray(msrd["colors"][:B, :L]),
+        depth_image=jnp.asarray(msrd["depths"][:B, :L]),
+        intrinsics=jnp.asarray(msrd["intrinsics"][:B]),
+        poses=jnp.asarray(msrd["poses"][:B, :L]),
+    )
+
+
+def chamfer(a, b):
+    d = ((a[:, None, :] - b[None, :, :]) ** 2).sum(-1)
+    return np.sqrt(d.min(1)).mean() + np.sqrt(d.min(0)).mean()
+
+
+class TestICPSLAMGt:
+    def test_aggregate_counts(self, msrd):
+        slam = ICPSLAM(odom="gt")
+        pc, poses = slam(make_frames(msrd))
+        valid = (msrd["depths"] > 0).reshape(2, -1).sum(-1)
+        np.testing.assert_array_equal(np.asarray(pc.num_points), valid)
+        np.testing.assert_allclose(np.asarray(poses), msrd["poses"], atol=1e-6)
+
+    def test_requires_poses(self, msrd):
+        slam = ICPSLAM(odom="gt")
+        frames = RGBDImages(
+            rgb_image=jnp.asarray(msrd["colors"]),
+            depth_image=jnp.asarray(msrd["depths"]),
+            intrinsics=jnp.asarray(msrd["intrinsics"]),
+        )
+        with pytest.raises(ValueError):
+            slam(frames)
+
+    def test_invalid_odom_raises(self):
+        with pytest.raises(ValueError):
+            ICPSLAM(odom="bogus")
+
+
+class TestPointFusionGt:
+    def test_reference_parity(self, msrd):
+        """End-to-end PointFusion(gt) map must match the reference run
+        (golden generated via scripts/reference_shim.py)."""
+        slam = PointFusion(odom="gt")
+        pc, _ = slam(make_frames(msrd))
+        for b in range(2):
+            ref_pts = np.load(os.path.join(GOLDEN, f"pointfusion_gt_points_{b}.npy"))
+            ours = pc.points_list[b]
+            # point counts within 0.2% (fp-sensitive threshold gating)
+            assert abs(len(ours) - len(ref_pts)) / len(ref_pts) < 0.002
+            assert chamfer(ours, ref_pts) < 1e-3
+        # confidence mass matches
+        ref_cc = np.load(os.path.join(GOLDEN, "pointfusion_gt_ccounts_0.npy"))
+        np.testing.assert_allclose(
+            np.asarray(pc.features_list[0]).sum(), ref_cc.sum(), rtol=1e-4
+        )
+
+    def test_step_equals_forward(self, msrd):
+        """Online step() must produce the same map as the scanned forward."""
+        frames = make_frames(msrd)
+        slam = PointFusion(odom="gt", map_capacity=3 * 120 * 160)
+        pc_fwd, _ = slam(frames)
+
+        pc = Pointclouds.empty(2, 3 * 120 * 160)
+        for s in range(3):
+            pc, _ = slam.step(pc, frames[:, s])
+        np.testing.assert_array_equal(
+            np.asarray(pc.num_points), np.asarray(pc_fwd.num_points)
+        )
+        np.testing.assert_allclose(
+            np.asarray(pc.points), np.asarray(pc_fwd.points), atol=1e-5
+        )
+
+    def test_differentiable_end_to_end(self, msrd):
+        """Gradients flow from the map back to the raw depth (the gradSLAM
+        selling point; the reference never tests this end-to-end)."""
+        frames = make_frames(msrd, B=1, L=2)
+        slam = PointFusion(odom="gt", use_jit=False)
+
+        def loss(depth):
+            fr = RGBDImages(frames.rgb_image, depth, frames.intrinsics, frames.poses)
+            pc, _ = slam(fr)
+            return jnp.sum(pc.points**2)
+
+        g = jax.grad(loss)(frames.depth_image)
+        assert np.all(np.isfinite(np.asarray(g)))
+        assert float(jnp.abs(g).max()) > 0
+
+
+class TestOdometrySLAM:
+    """SLAM with ICP/GradICP odometry on downsampled golden frames."""
+
+    @pytest.mark.parametrize("odom", ["icp", "gradicp"])
+    def test_tracks_near_gt(self, msrd, odom):
+        # downsample frames 2x for speed
+        frames = RGBDImages(
+            rgb_image=jnp.asarray(msrd["colors"][:1, :, ::2, ::2]),
+            depth_image=jnp.asarray(msrd["depths"][:1, :, ::2, ::2]),
+            intrinsics=jnp.asarray(msrd["intrinsics"][:1]) @ jnp.diag(jnp.asarray([0.5, 0.5, 1.0, 1.0])),
+            poses=jnp.asarray(msrd["poses"][:1]),
+        )
+        # fix intrinsics scaling (cx, cy also scale)
+        K = np.asarray(msrd["intrinsics"][:1]).copy()
+        K[..., 0, :] *= 0.5
+        K[..., 1, :] *= 0.5
+        frames = RGBDImages(
+            frames.rgb_image, frames.depth_image, jnp.asarray(K), frames.poses
+        )
+        slam = PointFusion(odom=odom, dsratio=2, numiters=10)
+        pc, poses = slam(frames)
+        # camera motion in this clip is small; tracked poses should stay close
+        # to ground truth
+        gt = msrd["poses"][:1]
+        err = np.abs(np.asarray(poses) - gt).max()
+        assert err < 0.05, f"pose error {err}"
+        assert np.all(np.isfinite(np.asarray(pc.points)))
