@@ -1,0 +1,62 @@
+"""Measure the reference's CPU throughput on the headline benchmark config
+(BASELINE.md #1 extended to 640x480: PointFusion + GT odometry, 30 frames).
+
+The reference publishes no numbers (SURVEY §6), so the baseline must be
+measured. Writes MEASURED_BASELINE.json at the repo root; bench.py reads it to
+compute vs_baseline.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(__file__))
+import reference_shim  # noqa: E402
+
+reference_shim.load_reference()
+
+import torch  # noqa: E402
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+from __graft_entry__ import _synthetic_frames_arrays  # noqa: E402
+
+
+def measure(B=1, L=30, H=480, W=640, warmup_frames=2):
+    from gradslam.slam.pointfusion import PointFusion
+    from gradslam.structures.rgbdimages import RGBDImages
+
+    rgb, depths, intrinsics, poses = _synthetic_frames_arrays(B, L, H, W)
+    frames = RGBDImages(
+        torch.from_numpy(rgb),
+        torch.from_numpy(depths),
+        torch.from_numpy(intrinsics),
+        torch.from_numpy(poses),
+        channels_first=False,
+    )
+    slam = PointFusion(odom="gt")
+    with torch.no_grad():
+        # warmup on a short prefix
+        slam(frames[:, :warmup_frames])
+        t0 = time.perf_counter()
+        pc, out_poses = slam(frames)
+        dt = time.perf_counter() - t0
+    fps = (B * L) / dt
+    return fps, dt, [p.shape[0] for p in pc.points_list]
+
+
+if __name__ == "__main__":
+    fps, dt, counts = measure()
+    result = {
+        "config": "PointFusion + GT odometry, 30 frames synthetic 640x480, batch 1",
+        "hardware": "CPU (reference torch, chamferdist/kornia shimmed)",
+        "reference_fps": fps,
+        "wall_s": dt,
+        "map_counts": counts,
+    }
+    out = os.path.join(os.path.dirname(__file__), "..", "MEASURED_BASELINE.json")
+    with open(out, "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result))
