@@ -28,20 +28,21 @@ def main():
         jnp.asarray(rgb), jnp.asarray(depths), jnp.asarray(intrinsics),
         jnp.asarray(poses),
     )
-    # Full worst-case capacity (the reference's map reaches 5.6M points on
-    # this noisy synthetic clip — see MEASURED_BASELINE.json), so use L*H*W
-    # to keep the workload semantics identical.
-    slam = PointFusion(odom="gt", map_capacity=L * H * W)
+    # The realistic clip merges well (map ~2-3 frames' worth of points);
+    # 2M capacity leaves ample headroom while keeping per-frame O(capacity)
+    # passes cheap.
+    slam = PointFusion(odom="gt", map_capacity=2_000_000)
 
-    # compile + warmup
+    # compile + warmup. NOTE: on tunneled TPU backends block_until_ready can
+    # return before remote execution finishes, so force a scalar readback.
     pc, out_poses = slam(frames)
-    jax.block_until_ready((pc.points, out_poses))
+    _ = float(pc.num_points[0])
 
     iters = 5
     t0 = time.perf_counter()
     for _ in range(iters):
         pc, out_poses = slam(frames)
-        jax.block_until_ready((pc.points, out_poses))
+        _ = float(pc.num_points[0]) + float(out_poses[0, -1, 0, 3])
     dt = (time.perf_counter() - t0) / iters
 
     fps = (B * L) / dt

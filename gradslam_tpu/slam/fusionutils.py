@@ -297,20 +297,201 @@ def fuse_with_map(
     )
 
 
+def _project_map_points(points, nonpad_mask, pose, intrinsics, H: int, W: int):
+    r"""Fused elementwise projection of all map points into a frame.
+
+    Streaming math only — no gathers/scatters — so the O(capacity) pass runs
+    at HBM bandwidth. Semantics identical to ``find_active_map_points``
+    (camera transform, pinhole projection with the z != 0 guard, the
+    reference's bounds test and round-half-to-even pixel snap).
+
+    Returns ``(valid (B, CAP), pix (B, CAP) int32 flattened h * W + w)``.
+    """
+    R = pose[:, :3, :3]  # (B, 3, 3)
+    t = pose[:, :3, 3]  # (B, 3)
+    rel = points - t[:, None, :]
+    # cam = R^T (p - t)
+    cam = jnp.einsum("bji,bnj->bni", R, rel, precision="highest")
+    x, y, z = cam[..., 0], cam[..., 1], cam[..., 2]
+    fx = intrinsics[:, 0, 0][:, None]
+    fy = intrinsics[:, 1, 1][:, None]
+    cx = intrinsics[:, 0, 2][:, None]
+    cy = intrinsics[:, 1, 2][:, None]
+    zg = jnp.where(z == 0, jnp.ones_like(z), z)
+    u = fx * (x / zg) + cx
+    v = fy * (y / zg) + cy
+    valid = (
+        (u > -1e-3)
+        & (u < W - 0.999)
+        & (v > -1e-3)
+        & (v < H - 0.999)
+        & (z > 0)
+        & nonpad_mask
+    )
+    pix_w = jnp.clip(jnp.round(u), 0, W - 1).astype(jnp.int32)
+    pix_h = jnp.clip(jnp.round(v), 0, H - 1).astype(jnp.int32)
+    return valid, pix_h * W + pix_w
+
+
 def update_map_fusion(
     pointclouds: Pointclouds,
     rgbdimages: RGBDImages,
     dist_th: Union[float, int],
     dot_th: Union[float, int],
     sigma: Union[float, int, jnp.ndarray],
+    active_capacity: Optional[int] = None,
 ) -> Pointclouds:
     r"""One PointFusion map update from a live frame
-    (reference fusionutils.py:761-789)."""
-    active, winner, pixel_corresponded = find_correspondences(
-        pointclouds, rgbdimages, dist_th, dot_th
+    (reference fusionutils.py:761-789) — TPU fast path.
+
+    TPU scatters with colliding indices serialise, so instead of the dense
+    scatter-max winner selection (``find_best_unique_correspondences``), this
+    path:
+
+    1. projects all map points with a streaming elementwise pass (O(CAP), no
+       gathers);
+    2. compacts the *active* points (those landing in the frame) into a small
+       window of ``active_capacity`` rows (scatter with unique indices — XLA
+       fast path);
+    3. applies the proximity/normal gating on the window;
+    4. selects per-pixel winners with one multi-key ``lax.sort`` by
+       ``(pixel, -ccount, raydist, index)`` — exactly the reference's
+       lexicographic criterion (fusionutils.py:509-544) with zero colliding
+       scatters;
+    5. scatters merged winner rows back into the map (unique indices) and
+       appends un-corresponded frame pixels.
+
+    ``active_capacity`` defaults to ``2 * H * W``; if more map points than
+    that land in the frame, the overflow points are left un-merged for this
+    frame (their pixels append duplicates instead — same degradation mode as
+    buffer-capacity overflow).
+    """
+    B, _, H, W = rgbdimages.shape
+    cap = pointclouds.capacity
+    HW = H * W
+    ACT = min(active_capacity if active_capacity is not None else 2 * HW, cap)
+
+    # --- 1. streaming projection over the full map -----------------------
+    pose = rgbdimages.poses[:, 0]
+    K = rgbdimages.intrinsics[:, 0]
+    valid, pix = _project_map_points(
+        pointclouds.points, pointclouds.nonpad_mask, pose, K, H, W
     )
-    return fuse_with_map(
-        pointclouds, rgbdimages, active, winner, pixel_corresponded, sigma
+
+    # --- 2. compact active rows into the window --------------------------
+    dest = jnp.cumsum(valid.astype(jnp.int32), axis=-1) - 1
+    oob = ACT + jnp.arange(cap, dtype=jnp.int32)[None, :]
+    dest = jnp.where(valid & (dest < ACT), dest, oob)
+    bidx_cap = jnp.broadcast_to(jnp.arange(B)[:, None], (B, cap))
+    row_ids = jnp.broadcast_to(jnp.arange(cap, dtype=jnp.int32)[None, :], (B, cap))
+    act_idx = (
+        jnp.zeros((B, ACT), dtype=jnp.int32)
+        .at[bidx_cap, dest]
+        .set(row_ids, mode="drop", unique_indices=True)
+    )
+    num_active = jnp.minimum(jnp.sum(valid, axis=-1), ACT)
+    act_valid = jnp.arange(ACT, dtype=jnp.int32)[None, :] < num_active[:, None]
+
+    def gather_map(buf):
+        return jnp.take_along_axis(buf, act_idx[..., None], axis=1)
+
+    w_pts = gather_map(pointclouds.points)  # (B, ACT, 3)
+    w_nrm = gather_map(pointclouds.normals)
+    w_cc = gather_map(pointclouds.features)[..., 0]  # (B, ACT)
+    # Recompute each active point's pixel from its gathered position (pure
+    # math) instead of scattering pix through the compaction — saves an
+    # O(capacity) scatter per frame. Identical result by construction.
+    _, act_pix = _project_map_points(
+        w_pts, act_valid, pose, K, H, W
+    )
+
+    # --- 3. gating against the frame pixel each point hits ---------------
+    vertex_flat = rgbdimages.global_vertex_map.reshape(B, HW, 3)
+    normal_flat = rgbdimages.global_normal_map.reshape(B, HW, 3)
+    safe_pix = jnp.minimum(act_pix, HW - 1)
+    fp = jnp.take_along_axis(vertex_flat, safe_pix[..., None], axis=1)
+    fn = jnp.take_along_axis(normal_flat, safe_pix[..., None], axis=1)
+    is_close = jnp.linalg.norm(fp - w_pts, axis=-1) < dist_th
+    is_similar = jnp.sum(fn * w_nrm, axis=-1) > dot_th
+    eligible = act_valid & is_close & is_similar
+
+    # --- 4. per-pixel winner via one lexicographic sort -------------------
+    ray_dists = jnp.sum((w_pts - fp) ** 2, axis=-1)
+    k_pix = jnp.where(eligible, act_pix, HW)  # ineligible rows sort last
+    k_negcc = jnp.where(eligible, -w_cc, jnp.inf)
+    k_ray = jnp.where(eligible, ray_dists, jnp.inf)
+    k_idx = jnp.where(eligible, act_idx, cap)
+    s_pix, s_negcc, s_ray, s_idx = jax.lax.sort(
+        (k_pix, k_negcc, k_ray, k_idx), dimension=1, num_keys=4
+    )
+    first = jnp.concatenate(
+        [
+            jnp.ones((B, 1), dtype=bool),
+            s_pix[:, 1:] != s_pix[:, :-1],
+        ],
+        axis=1,
+    )
+    s_winner = first & (s_pix < HW)
+
+    # --- 5a. merge winner rows back into the map --------------------------
+    color_flat = rgbdimages.rgb_image.reshape(B, HW, 3)
+    alpha_image = get_alpha(rgbdimages.vertex_map, sigma=sigma, dim=4, keepdim=True)
+    alpha_flat = alpha_image.reshape(B, HW, 1)
+    s_safe_pix = jnp.minimum(s_pix, HW - 1)
+    s_fp = jnp.take_along_axis(vertex_flat, s_safe_pix[..., None], axis=1)
+    s_fn = jnp.take_along_axis(normal_flat, s_safe_pix[..., None], axis=1)
+    s_fc = jnp.take_along_axis(color_flat, s_safe_pix[..., None], axis=1)
+    s_fa = jnp.take_along_axis(alpha_flat, s_safe_pix[..., None], axis=1)
+    s_map_idx = jnp.minimum(s_idx, cap - 1)
+    s_pts = jnp.take_along_axis(pointclouds.points, s_map_idx[..., None], axis=1)
+    s_nrm = jnp.take_along_axis(pointclouds.normals, s_map_idx[..., None], axis=1)
+    s_col = jnp.take_along_axis(pointclouds.colors, s_map_idx[..., None], axis=1)
+    s_cc = jnp.take_along_axis(pointclouds.features, s_map_idx[..., None], axis=1)
+
+    new_cc = s_cc + s_fa
+    inv_cc = 1.0 / jnp.where(new_cc == 0, 1.0, new_cc)
+    m_pts = (s_cc * s_pts + s_fa * s_fp) * inv_cc
+    m_nrm = (s_cc * s_nrm + s_fa * s_fn) * inv_cc
+    m_col = (s_cc * s_col + s_fa * s_fc) * inv_cc
+
+    bidx_act = jnp.broadcast_to(jnp.arange(B)[:, None], (B, ACT))
+    scatter_idx = jnp.where(
+        s_winner, s_idx, cap + jnp.arange(ACT, dtype=jnp.int32)[None, :]
+    )
+
+    def scatter_map(buf, vals):
+        # Column-at-a-time (see Pointclouds.append_masked): single-column TPU
+        # scatters are ~8x cheaper than multi-column row scatters.
+        vals = vals.astype(buf.dtype)
+        for c in range(buf.shape[-1]):
+            buf = buf.at[bidx_act, scatter_idx, c].set(
+                vals[..., c], mode="drop", unique_indices=True
+            )
+        return buf
+
+    merged = dataclasses.replace(
+        pointclouds,
+        points=scatter_map(pointclouds.points, m_pts),
+        normals=scatter_map(pointclouds.normals, m_nrm),
+        colors=scatter_map(pointclouds.colors, m_col),
+        features=scatter_map(pointclouds.features, new_cc),
+    )
+
+    # --- 5b. append frame pixels that got no correspondence ---------------
+    corr_pix = jnp.where(s_winner, s_pix, HW + jnp.arange(ACT, dtype=jnp.int32)[None, :])
+    pixel_corresponded = (
+        jnp.zeros((B, HW), dtype=bool)
+        .at[bidx_act, corr_pix]
+        .set(True, mode="drop", unique_indices=True)
+    )
+    valid_depth = rgbdimages.valid_depth_mask.reshape(B, HW)
+    new_mask = valid_depth & ~pixel_corresponded
+    return merged.append_masked(
+        vertex_flat,
+        new_mask,
+        normals=normal_flat,
+        colors=color_flat,
+        features=alpha_flat,
     )
 
 

@@ -45,10 +45,14 @@ def _compact_masked(values: jnp.ndarray, mask: jnp.ndarray, capacity: int):
     """
     B, M = mask.shape
     dest = jnp.cumsum(mask.astype(jnp.int32), axis=-1) - 1  # (B, M)
-    dest = jnp.where(mask, dest, capacity)  # park invalid rows out of bounds
+    # Park invalid rows at out-of-bounds slots that stay UNIQUE (capacity + i):
+    # unique_indices=True lets XLA use the fast scatter path on TPU instead of
+    # the serialising conflict-resolution path.
+    oob = capacity + jnp.arange(M, dtype=jnp.int32)[None, :]
+    dest = jnp.where(mask, dest, oob)
     out = jnp.zeros((B, capacity) + values.shape[2:], dtype=values.dtype)
     bidx = jnp.broadcast_to(jnp.arange(B)[:, None], (B, M))
-    out = out.at[bidx, dest].set(values, mode="drop")
+    out = out.at[bidx, dest].set(values, mode="drop", unique_indices=True)
     counts = jnp.minimum(jnp.sum(mask, axis=-1).astype(jnp.int32), capacity)
     return out, counts
 
@@ -339,13 +343,24 @@ class Pointclouds:
         B, M = mask.shape
         cap = self.capacity
         dest = self.num_points[:, None] + jnp.cumsum(mask.astype(jnp.int32), -1) - 1
-        dest = jnp.where(mask & (dest < cap), dest, cap)  # park drops OOB
+        # Unique out-of-bounds parking slots for dropped rows — keeps the
+        # scatter on XLA's fast unique-indices path (see compact_masked).
+        oob = cap + jnp.arange(M, dtype=jnp.int32)[None, :]
+        dest = jnp.where(mask & (dest < cap), dest, oob)
         bidx = jnp.broadcast_to(jnp.arange(B)[:, None], (B, M))
 
         def scat(buf, new):
             if buf is None or new is None:
                 return buf
-            return buf.at[bidx, dest].set(new.astype(buf.dtype), mode="drop")
+            new = new.astype(buf.dtype)
+            # Column-at-a-time scatters: a TPU row scatter with C >= 2 columns
+            # costs ~8x a single-column scatter (strided per-row writes), so
+            # C single-column scatters are much faster than one C-column one.
+            for c in range(buf.shape[-1]):
+                buf = buf.at[bidx, dest, c].set(
+                    new[..., c], mode="drop", unique_indices=True
+                )
+            return buf
 
         appended = jnp.sum((dest < cap).astype(jnp.int32), axis=-1)
         return Pointclouds(
