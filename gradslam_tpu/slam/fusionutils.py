@@ -309,10 +309,19 @@ def _project_map_points(points, nonpad_mask, pose, intrinsics, H: int, W: int):
     """
     R = pose[:, :3, :3]  # (B, 3, 3)
     t = pose[:, :3, 3]  # (B, 3)
-    rel = points - t[:, None, :]
-    # cam = R^T (p - t)
-    cam = jnp.einsum("bji,bnj->bni", R, rel, precision="highest")
-    x, y, z = cam[..., 0], cam[..., 1], cam[..., 2]
+    rx = points[..., 0] - t[:, None, 0]
+    ry = points[..., 1] - t[:, None, 1]
+    rz = points[..., 2] - t[:, None, 2]
+    # cam = R^T (p - t), written as explicit scalar-vector FMAs: einsum here
+    # makes XLA emit column-major gathers/copies around the point arrays,
+    # several times more expensive than the projection itself.
+    def col(j):
+        c0 = R[:, 0, j][:, None]
+        c1 = R[:, 1, j][:, None]
+        c2 = R[:, 2, j][:, None]
+        return c0 * rx + c1 * ry + c2 * rz
+
+    x, y, z = col(0), col(1), col(2)
     fx = intrinsics[:, 0, 0][:, None]
     fy = intrinsics[:, 1, 1][:, None]
     cx = intrinsics[:, 0, 2][:, None]

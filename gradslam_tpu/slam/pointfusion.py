@@ -42,6 +42,7 @@ class PointFusion(ICPSLAM):
         nu: float = 200.0,
         map_capacity: Optional[int] = None,
         icp_capacity: Optional[int] = None,
+        active_capacity: Optional[int] = None,
         use_jit: bool = True,
     ):
         super().__init__(
@@ -71,8 +72,14 @@ class PointFusion(ICPSLAM):
         self.dist_th = dist_th
         self.dot_th = math.cos(angle_th * math.pi / 180.0)
         self.sigma = sigma
+        self.active_capacity = active_capacity
 
     def _map(self, pointclouds: Pointclouds, live_frame: RGBDImages) -> Pointclouds:
         return update_map_fusion(
-            pointclouds, live_frame, self.dist_th, self.dot_th, self.sigma
+            pointclouds,
+            live_frame,
+            self.dist_th,
+            self.dot_th,
+            self.sigma,
+            active_capacity=self.active_capacity,
         )
