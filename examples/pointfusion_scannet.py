@@ -1,0 +1,55 @@
+r"""PointFusion on ScanNet (parity with
+``/root/reference/examples/pointfusion_scannet.py``): load a scene sequence,
+run PointFusion, optionally visualize."""
+
+import argparse
+
+import jax.numpy as jnp
+import numpy as np
+
+from gradslam_tpu import PointFusion, RGBDImages
+from gradslam_tpu.datasets import Scannet
+
+parser = argparse.ArgumentParser()
+parser.add_argument("--dataset_path", type=str, required=True,
+                    help="Path to extracted scans (sceneXXXX_XX dirs).")
+parser.add_argument("--seqmeta_path", type=str, required=True,
+                    help="Path to sequence-association metadata dir.")
+parser.add_argument("--scenes", type=str, default=None,
+                    help="Comma-separated scene names or a split .txt file.")
+parser.add_argument("--odometry", type=str, default="gt",
+                    choices=["gt", "icp", "gradicp"])
+parser.add_argument("--start", type=int, default=0)
+parser.add_argument("--end", type=int, default=4)
+parser.add_argument("--height", type=int, default=240)
+parser.add_argument("--width", type=int, default=320)
+parser.add_argument("--visualize", action="store_true")
+args = parser.parse_args()
+
+
+def main():
+    scenes = args.scenes
+    if scenes is not None and not scenes.endswith(".txt"):
+        scenes = tuple(scenes.split(","))
+    dataset = Scannet(
+        args.dataset_path, args.seqmeta_path, scenes,
+        start=args.start, end=args.end,
+        height=args.height, width=args.width, return_labels=False,
+    )
+    colors, depths, intrinsics, poses, *_ = dataset[0]
+    frames = RGBDImages(
+        jnp.asarray(colors)[None], jnp.asarray(depths)[None],
+        jnp.asarray(intrinsics)[None, None], jnp.asarray(poses)[None],
+    )
+    slam = PointFusion(odom=args.odometry)
+    pointclouds, recovered_poses = slam(frames)
+    print("map points:", np.asarray(pointclouds.num_points))
+
+    if args.visualize:
+        import open3d as o3d
+
+        o3d.visualization.draw_geometries([pointclouds.open3d(0)])
+
+
+if __name__ == "__main__":
+    main()

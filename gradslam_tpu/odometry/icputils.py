@@ -31,7 +31,7 @@ import jax.numpy as jnp
 
 from ..geometry.geometryutils import transform_pointcloud
 from ..geometry.se3utils import se3_exp
-from ..ops.knn import nn_points
+from ..ops import nn_points_auto
 from ..structures.pointclouds import Pointclouds, compact_masked
 from ..structures.rgbdimages import RGBDImages
 from ..utils.precision import HIGHEST, matmul_hp
@@ -84,7 +84,7 @@ def gauss_newton_solve(
     instead drops them into a dynamic-length system, icputils.py:203-230).
     ``A = [n | s x n]``, ``b = n . (d - s)`` (icputils.py:227-230).
     """
-    dists, idx = nn_points(src_pc, tgt_pc, tgt_mask)
+    dists, idx = nn_points_auto(src_pc, tgt_pc, tgt_mask)
     valid = jnp.ones(src_pc.shape[0], dtype=bool) if src_mask is None else src_mask
     if dist_thresh is not None:
         valid = valid & (dists < dist_thresh)

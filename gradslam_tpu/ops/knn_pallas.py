@@ -37,63 +37,69 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _knn_kernel(src_ref, tgt_ref, invalid_ref, dists_ref, idx_ref):
-    """Grid cell: one (batch, src-tile). src_ref (TILE_N, 4) f32;
-    tgt_ref (Mp, 4) f32; invalid_ref (1, Mp) f32 penalties; outputs
-    (TILE_N,) dist/idx."""
-    src = src_ref[:]  # (TILE_N, 4) — xyz + zero pad
-    s2 = jnp.sum(src * src, axis=-1, keepdims=True)  # (TILE_N, 1)
+    """Single-program kernel: all of src/tgt live in VMEM (ICP-sized point
+    sets are a few 100 KB). Loops over src tiles x tgt tiles; the cross-term
+    rides the MXU; the running argmin stays in registers."""
+    Np = src_ref.shape[0]
     Mp = tgt_ref.shape[0]
-    num_tiles = Mp // _TGT_TILE
+    n_src = Np // _SRC_TILE
+    n_tgt = Mp // _TGT_TILE
 
-    def body(t, carry):
-        best_d, best_i = carry
-        tgt = tgt_ref[pl.ds(t * _TGT_TILE, _TGT_TILE), :]  # (TGT_TILE, 4)
-        pen = invalid_ref[0, pl.ds(t * _TGT_TILE, _TGT_TILE)]  # (TGT_TILE,)
-        t2 = jnp.sum(tgt * tgt, axis=-1)  # (TGT_TILE,)
-        cross = jax.lax.dot_general(
-            src,
-            tgt,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (TILE_N, TGT_TILE)
-        d2 = s2 + (t2 + pen)[None, :] - 2.0 * cross
-        tile_best = jnp.min(d2, axis=1)
-        tile_arg = jnp.argmin(d2, axis=1).astype(jnp.int32) + t * _TGT_TILE
-        take = tile_best < best_d
-        return (
-            jnp.where(take, tile_best, best_d),
-            jnp.where(take, tile_arg, best_i),
+    def src_body(i, _):
+        src = src_ref[pl.ds(i * _SRC_TILE, _SRC_TILE), :]  # (SRC_TILE, 4)
+        s2 = jnp.sum(src * src, axis=-1, keepdims=True)
+
+        def tgt_body(t, carry):
+            best_d, best_i = carry
+            tgt = tgt_ref[pl.ds(t * _TGT_TILE, _TGT_TILE), :]
+            pen = invalid_ref[0, pl.ds(t * _TGT_TILE, _TGT_TILE)]
+            t2 = jnp.sum(tgt * tgt, axis=-1)
+            cross = jax.lax.dot_general(
+                src,
+                tgt,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,  # full-f32 MXU passes
+            )
+            d2 = s2 + (t2 + pen)[None, :] - 2.0 * cross
+            tile_best = jnp.min(d2, axis=1)
+            tile_arg = jnp.argmin(d2, axis=1).astype(jnp.int32) + t * _TGT_TILE
+            take = tile_best < best_d
+            return (
+                jnp.where(take, tile_best, best_d),
+                jnp.where(take, tile_arg, best_i),
+            )
+
+        init = (
+            jnp.full((_SRC_TILE,), 1e30, dtype=jnp.float32),
+            jnp.zeros((_SRC_TILE,), dtype=jnp.int32),
         )
+        best_d, best_i = jax.lax.fori_loop(0, n_tgt, tgt_body, init)
+        dists_ref[0, pl.ds(i * _SRC_TILE, _SRC_TILE)] = jnp.maximum(best_d, 0.0)
+        idx_ref[0, pl.ds(i * _SRC_TILE, _SRC_TILE)] = best_i
+        return 0
 
-    init = (
-        jnp.full((src.shape[0],), 1e30, dtype=jnp.float32),
-        jnp.zeros((src.shape[0],), dtype=jnp.int32),
-    )
-    best_d, best_i = jax.lax.fori_loop(0, num_tiles, body, init)
-    dists_ref[:] = jnp.maximum(best_d, 0.0)
-    idx_ref[:] = best_i
+    jax.lax.fori_loop(0, n_src, src_body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=())
 def _nn_pallas_single(src4, tgt4, invalid):
     Np = src4.shape[0]
     Mp = tgt4.shape[0]
-    grid = (Np // _SRC_TILE,)
     out_shape = (
-        jax.ShapeDtypeStruct((Np,), jnp.float32),
-        jax.ShapeDtypeStruct((Np,), jnp.int32),
+        jax.ShapeDtypeStruct((1, Np), jnp.float32),
+        jax.ShapeDtypeStruct((1, Np), jnp.int32),
     )
-    return pl.pallas_call(
+    dists, idx = pl.pallas_call(
         _knn_kernel,
-        grid=grid,
         in_specs=[
-            pl.BlockSpec((_SRC_TILE, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Mp, 4), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Mp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((_SRC_TILE,), lambda i: (i,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_SRC_TILE,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
         out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
@@ -102,6 +108,7 @@ def _nn_pallas_single(src4, tgt4, invalid):
             transcendentals=0,
         ),
     )(src4, tgt4, invalid)
+    return dists[0], idx[0]
 
 
 def nn_points_pallas(

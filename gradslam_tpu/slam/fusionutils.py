@@ -431,7 +431,7 @@ def update_map_fusion(
     k_ray = jnp.where(eligible, ray_dists, jnp.inf)
     k_idx = jnp.where(eligible, act_idx, cap)
     s_pix, s_negcc, s_ray, s_idx = jax.lax.sort(
-        (k_pix, k_negcc, k_ray, k_idx), dimension=1, num_keys=4
+        (k_pix, k_negcc, k_ray, k_idx), dimension=1, num_keys=4, is_stable=False
     )
     first = jnp.concatenate(
         [
@@ -442,65 +442,74 @@ def update_map_fusion(
     )
     s_winner = first & (s_pix < HW)
 
-    # --- 5a. merge winner rows back into the map --------------------------
+    # --- 5. pixel-driven combined merge + append --------------------------
+    # One scatter pass updates winner rows AND writes new points: TPU
+    # scatters are ~8x the cost of gathers, so the merge pulls map data to
+    # pixel space (gathers) and a single per-pixel scatter set writes back.
+    bidx_act = jnp.broadcast_to(jnp.arange(B)[:, None], (B, ACT))
+    bidx_pix = jnp.broadcast_to(jnp.arange(B)[:, None], (B, HW))
+
+    # per-pixel winner map row (cap = "no winner"), via one unique scatter
+    table_pix = jnp.where(
+        s_winner, s_pix, HW + jnp.arange(ACT, dtype=jnp.int32)[None, :]
+    )
+    winner_row = (
+        jnp.full((B, HW), cap, dtype=jnp.int32)
+        .at[bidx_act, table_pix]
+        .set(s_idx, mode="drop", unique_indices=True)
+    )
+    corresponded = winner_row < cap
+    safe_row = jnp.minimum(winner_row, cap - 1)
+
     color_flat = rgbdimages.rgb_image.reshape(B, HW, 3)
     alpha_image = get_alpha(rgbdimages.vertex_map, sigma=sigma, dim=4, keepdim=True)
     alpha_flat = alpha_image.reshape(B, HW, 1)
-    s_safe_pix = jnp.minimum(s_pix, HW - 1)
-    s_fp = jnp.take_along_axis(vertex_flat, s_safe_pix[..., None], axis=1)
-    s_fn = jnp.take_along_axis(normal_flat, s_safe_pix[..., None], axis=1)
-    s_fc = jnp.take_along_axis(color_flat, s_safe_pix[..., None], axis=1)
-    s_fa = jnp.take_along_axis(alpha_flat, s_safe_pix[..., None], axis=1)
-    s_map_idx = jnp.minimum(s_idx, cap - 1)
-    s_pts = jnp.take_along_axis(pointclouds.points, s_map_idx[..., None], axis=1)
-    s_nrm = jnp.take_along_axis(pointclouds.normals, s_map_idx[..., None], axis=1)
-    s_col = jnp.take_along_axis(pointclouds.colors, s_map_idx[..., None], axis=1)
-    s_cc = jnp.take_along_axis(pointclouds.features, s_map_idx[..., None], axis=1)
 
-    new_cc = s_cc + s_fa
+    m_pts = jnp.take_along_axis(pointclouds.points, safe_row[..., None], axis=1)
+    m_nrm = jnp.take_along_axis(pointclouds.normals, safe_row[..., None], axis=1)
+    m_col = jnp.take_along_axis(pointclouds.colors, safe_row[..., None], axis=1)
+    m_cc = jnp.take_along_axis(pointclouds.features, safe_row[..., None], axis=1)
+
+    corr = corresponded[..., None]
+    cc_old = jnp.where(corr, m_cc, 0.0)  # new points start from zero mass
+    new_cc = cc_old + alpha_flat
     inv_cc = 1.0 / jnp.where(new_cc == 0, 1.0, new_cc)
-    m_pts = (s_cc * s_pts + s_fa * s_fp) * inv_cc
-    m_nrm = (s_cc * s_nrm + s_fa * s_fn) * inv_cc
-    m_col = (s_cc * s_col + s_fa * s_fc) * inv_cc
+    out_pts = (cc_old * m_pts + alpha_flat * vertex_flat) * inv_cc
+    out_nrm = (cc_old * m_nrm + alpha_flat * normal_flat) * inv_cc
+    out_col = (cc_old * m_col + alpha_flat * color_flat) * inv_cc
 
-    bidx_act = jnp.broadcast_to(jnp.arange(B)[:, None], (B, ACT))
-    scatter_idx = jnp.where(
-        s_winner, s_idx, cap + jnp.arange(ACT, dtype=jnp.int32)[None, :]
+    # destination row per pixel: winner row for merges, fresh tail slot for
+    # appends, unique OOB parking otherwise (keeps the fast scatter path)
+    valid_depth = rgbdimages.valid_depth_mask.reshape(B, HW)
+    new_mask = valid_depth & ~corresponded
+    tail = (
+        pointclouds.num_points[:, None]
+        + jnp.cumsum(new_mask.astype(jnp.int32), axis=-1)
+        - 1
+    )
+    oob = cap + jnp.arange(HW, dtype=jnp.int32)[None, :]
+    dest = jnp.where(
+        corresponded, winner_row, jnp.where(new_mask & (tail < cap), tail, oob)
     )
 
     def scatter_map(buf, vals):
-        # Column-at-a-time (see Pointclouds.append_masked): single-column TPU
-        # scatters are ~8x cheaper than multi-column row scatters.
+        # Column-at-a-time: single-column TPU scatters are ~8x cheaper than
+        # multi-column row scatters.
         vals = vals.astype(buf.dtype)
         for c in range(buf.shape[-1]):
-            buf = buf.at[bidx_act, scatter_idx, c].set(
+            buf = buf.at[bidx_pix, dest, c].set(
                 vals[..., c], mode="drop", unique_indices=True
             )
         return buf
 
-    merged = dataclasses.replace(
+    appended = jnp.sum((new_mask & (tail < cap)).astype(jnp.int32), axis=-1)
+    return dataclasses.replace(
         pointclouds,
-        points=scatter_map(pointclouds.points, m_pts),
-        normals=scatter_map(pointclouds.normals, m_nrm),
-        colors=scatter_map(pointclouds.colors, m_col),
+        points=scatter_map(pointclouds.points, out_pts),
+        normals=scatter_map(pointclouds.normals, out_nrm),
+        colors=scatter_map(pointclouds.colors, out_col),
         features=scatter_map(pointclouds.features, new_cc),
-    )
-
-    # --- 5b. append frame pixels that got no correspondence ---------------
-    corr_pix = jnp.where(s_winner, s_pix, HW + jnp.arange(ACT, dtype=jnp.int32)[None, :])
-    pixel_corresponded = (
-        jnp.zeros((B, HW), dtype=bool)
-        .at[bidx_act, corr_pix]
-        .set(True, mode="drop", unique_indices=True)
-    )
-    valid_depth = rgbdimages.valid_depth_mask.reshape(B, HW)
-    new_mask = valid_depth & ~pixel_corresponded
-    return merged.append_masked(
-        vertex_flat,
-        new_mask,
-        normals=normal_flat,
-        colors=color_flat,
-        features=alpha_flat,
+        num_points=pointclouds.num_points + appended,
     )
 
 

@@ -1,0 +1,56 @@
+"""Pallas KNN kernel tests — run in interpreter mode on CPU (the kernel is
+exercised compiled on real TPU by the benchmarks)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gradslam_tpu.ops import get_knn_backend, nn_points, set_knn_backend
+from gradslam_tpu.ops.knn_pallas import nn_points_pallas
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode(monkeypatch):
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        yield
+
+
+class TestPallasKNN:
+    def test_matches_xla(self):
+        rng = np.random.RandomState(0)
+        src = jnp.asarray(rng.randn(600, 3).astype(np.float32))
+        tgt = jnp.asarray(rng.randn(1100, 3).astype(np.float32))
+        d1, i1 = nn_points(src, tgt)
+        d2, i2 = nn_points_pallas(src, tgt)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-4)
+
+    def test_masked(self):
+        rng = np.random.RandomState(1)
+        src = jnp.asarray(rng.randn(100, 3).astype(np.float32))
+        tgt = jnp.asarray(rng.randn(300, 3).astype(np.float32))
+        mask = jnp.asarray(rng.rand(300) < 0.5)
+        d1, i1 = nn_points(src, tgt, mask)
+        d2, i2 = nn_points_pallas(src, tgt, mask)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+    def test_batched(self):
+        rng = np.random.RandomState(2)
+        src = jnp.asarray(rng.randn(2, 50, 3).astype(np.float32))
+        tgt = jnp.asarray(rng.randn(2, 80, 3).astype(np.float32))
+        d1, i1 = nn_points(src, tgt)
+        d2, i2 = nn_points_pallas(src, tgt)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+class TestBackendSwitch:
+    def test_set_get(self):
+        assert get_knn_backend() == "xla"
+        set_knn_backend("pallas")
+        assert get_knn_backend() == "pallas"
+        set_knn_backend("xla")
+        with pytest.raises(ValueError):
+            set_knn_backend("cuda")
