@@ -17,6 +17,11 @@ import numpy as np
 
 def main():
     import jax
+
+    # Persistent compile cache: the 30-frame fused SLAM program takes several
+    # minutes to compile on tunneled TPU backends; cache it across runs.
+    jax.config.update("jax_compilation_cache_dir", "/root/.jaxcache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from __graft_entry__ import _synthetic_frames_arrays

@@ -1,6 +1,11 @@
 from .pointclouds import Pointclouds
 from .rgbdimages import RGBDImages
-from .structutils import list_to_padded, padded_to_list
+from .structutils import (
+    img_to_b64str,
+    list_to_padded,
+    numpy_to_plotly_image,
+    padded_to_list,
+)
 from .utils import pointclouds_from_rgbdimages
 
 __all__ = [

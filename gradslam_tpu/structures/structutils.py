@@ -10,7 +10,47 @@ from typing import List, Optional, Sequence, Tuple, Union
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["list_to_padded", "padded_to_list"]
+__all__ = [
+    "list_to_padded",
+    "padded_to_list",
+    "numpy_to_plotly_image",
+    "img_to_b64str",
+]
+
+
+def img_to_b64str(img: np.ndarray, quality: int = 95) -> str:
+    r"""JPEG-encode an image array to a base64 data-URI string (parity with
+    the reference structutils.py:156; used by the plotly frame viewer)."""
+    import base64
+
+    import cv2
+
+    img = np.asarray(img)
+    if img.dtype != np.uint8:
+        img = np.clip(img, 0, 255).astype(np.uint8)
+    bgr = img[..., ::-1] if img.ndim == 3 else img
+    ok, buf = cv2.imencode(".jpg", bgr, [int(cv2.IMWRITE_JPEG_QUALITY), quality])
+    if not ok:
+        raise ValueError("JPEG encoding failed")
+    return "data:image/jpeg;base64," + base64.b64encode(buf.tobytes()).decode()
+
+
+def numpy_to_plotly_image(img: np.ndarray, name=None, is_depth: bool = False,
+                          scale=None):
+    r"""Wrap an image array as a ``plotly.graph_objects.Image`` trace (parity
+    with the reference structutils.py:127). Requires plotly."""
+    import plotly.graph_objects as go
+
+    img = np.asarray(img)
+    if is_depth:
+        valid = img > 0
+        rng = img.max() - img[valid].min() if valid.any() else 1.0
+        rng = rng if rng > 0 else 1.0
+        norm = np.zeros_like(img, dtype=np.float32)
+        if valid.any():
+            norm[valid] = (img[valid] - img[valid].min()) / rng
+        img = (np.stack([norm] * 3, axis=-1) * 255).astype(np.uint8)
+    return go.Image(source=img_to_b64str(img), name=name)
 
 
 def list_to_padded(
