@@ -36,7 +36,7 @@ def main():
     # The realistic clip merges well (map ~2-3 frames' worth of points);
     # 2M capacity leaves ample headroom while keeping per-frame O(capacity)
     # passes cheap.
-    slam = PointFusion(odom="gt", map_capacity=2_000_000)
+    slam = PointFusion(odom="gt", map_capacity=1_000_000)
 
     # compile + warmup. NOTE: on tunneled TPU backends block_until_ready can
     # return before remote execution finishes, so force a scalar readback.

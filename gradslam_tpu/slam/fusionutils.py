@@ -430,9 +430,24 @@ def update_map_fusion(
     k_negcc = jnp.where(eligible, -w_cc, jnp.inf)
     k_ray = jnp.where(eligible, ray_dists, jnp.inf)
     k_idx = jnp.where(eligible, act_idx, cap)
-    s_pix, s_negcc, s_ray, s_idx = jax.lax.sort(
-        (k_pix, k_negcc, k_ray, k_idx), dimension=1, num_keys=4, is_stable=False
+    # Sort FLAT: a (B, ACT) sort along dim 1 is ~10x slower on TPU than a 1-D
+    # sort of the flattened array. Fold the batch into the pixel key
+    # (b * (HW + 1) + pix); each batch contributes exactly ACT rows, so the
+    # sorted array factors back into per-batch slices.
+    boff = jnp.arange(B, dtype=jnp.int32)[:, None] * (HW + 1)
+    sf_pix, sf_negcc, sf_ray, sf_idx = jax.lax.sort(
+        (
+            (k_pix + boff).reshape(-1),
+            k_negcc.reshape(-1),
+            k_ray.reshape(-1),
+            k_idx.reshape(-1),
+        ),
+        dimension=0,
+        num_keys=4,
+        is_stable=False,
     )
+    s_pix = sf_pix.reshape(B, ACT) - boff
+    s_idx = sf_idx.reshape(B, ACT)
     first = jnp.concatenate(
         [
             jnp.ones((B, 1), dtype=bool),

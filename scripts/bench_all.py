@@ -1,0 +1,88 @@
+"""Extended benchmark suite over the BASELINE.md operating points (the
+headline driver metric stays in bench.py). Prints one JSON line per config.
+
+Configs (BASELINE.json):
+  1. PointFusion + GT odometry, 30 frames 640x480         (headline, = bench.py)
+  2. ICPSLAM + point-to-plane ICP                          (synthetic clip)
+  3. PointFusion + GradICP                                 (synthetic clip)
+  5. Batched differentiable SLAM: vmap over 8 sequences, backprop to
+     depth + intrinsics                                    (no reference equiv.)
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def run():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.jaxcache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    sys.path.insert(0, ".")
+    from __graft_entry__ import _synthetic_frames_arrays
+    from gradslam_tpu import ICPSLAM, PointFusion, RGBDImages
+
+    results = []
+
+    def timed(tag, fn, frames, B, L, iters=3):
+        out = fn(frames)
+        _ = float(out[0].num_points[0])
+        t0 = time.perf_counter()
+        for _i in range(iters):
+            out = fn(frames)
+            _ = float(out[0].num_points[0])
+        dt = (time.perf_counter() - t0) / iters
+        results.append(
+            {"metric": tag, "value": round(B * L / dt, 2), "unit": "frames/s"}
+        )
+
+    # config 2/3: tracked odometry at 320x240 (dsratio 4)
+    B, L, H, W = 1, 30, 240, 320
+    rgb, depths, intrinsics, poses = _synthetic_frames_arrays(B, L, H, W)
+    frames = RGBDImages(
+        jnp.asarray(rgb), jnp.asarray(depths), jnp.asarray(intrinsics),
+        jnp.asarray(poses),
+    )
+    icp = ICPSLAM(odom="icp", dsratio=4, numiters=10, map_capacity=500_000)
+    timed("ICPSLAM(icp) 320x240 frames/s", icp, frames, B, L)
+    gicp = PointFusion(odom="gradicp", dsratio=4, numiters=10, map_capacity=500_000)
+    timed("PointFusion(gradicp) 320x240 frames/s", gicp, frames, B, L)
+
+    # config 5: batched differentiable SLAM (grad wrt depth + intrinsics)
+    B, L, H, W = 8, 4, 120, 160
+    rgb, depths, intrinsics, poses = _synthetic_frames_arrays(B, L, H, W)
+    slam = PointFusion(odom="gt", use_jit=False, map_capacity=L * H * W)
+
+    def loss_fn(d, K):
+        fr = RGBDImages(jnp.asarray(rgb), d, K, jnp.asarray(poses))
+        pc, traj = slam.forward(fr)
+        return jnp.sum(pc.points**2)
+
+    grad_step = jax.jit(jax.grad(loss_fn, argnums=(0, 1)))
+    d0, K0 = jnp.asarray(depths), jnp.asarray(intrinsics)
+    g = grad_step(d0, K0)
+    _ = float(g[0].ravel()[0])
+    t0 = time.perf_counter()
+    for _i in range(3):
+        g = grad_step(d0, K0)
+        _ = float(g[0].ravel()[0])
+    dt = (time.perf_counter() - t0) / 3
+    results.append(
+        {
+            "metric": "batched differentiable SLAM (B=8, grads to depth+intrinsics)",
+            "value": round(B * L / dt, 2),
+            "unit": "frames/s",
+        }
+    )
+
+    for r in results:
+        print(json.dumps(r))
+
+
+if __name__ == "__main__":
+    run()
