@@ -25,6 +25,13 @@ __all__ = [
     "transform_normals",
     "normalize_quaternion",
     "quaternion_to_rotation_matrix",
+    "quaternion_to_axisangle",
+    "transform_pts_3d",
+    "transform_pts_nd",
+    "normalize_pixel_coords",
+    "unnormalize_pixel_coords",
+    "cam2pixel",
+    "pixel2cam",
 ]
 
 
@@ -133,6 +140,84 @@ def transform_normals(normals, transform) -> jnp.ndarray:
     return einsum_hp("...ij,...nj->...ni", rmat, normals)
 
 
+def transform_pts_3d(pts, transform) -> jnp.ndarray:
+    r"""Apply a homogeneous ``(4, 4)`` transform to points of shape
+    ``(*, 3)`` — grid-shaped inputs like ``(H, W, 3)`` included (reference
+    geometryutils.py:304-359)."""
+    pts = jnp.asarray(pts)
+    transform = jnp.asarray(transform)
+    if transform.shape[-2:] != (4, 4):
+        raise ValueError(f"transform must have shape (*, 4, 4). Got {transform.shape}.")
+    rmat = transform[..., :3, :3]
+    tvec = transform[..., :3, 3]
+    return einsum_hp("ij,...j->...i", rmat, pts) + tvec
+
+
+def transform_pts_nd(pts, transform) -> jnp.ndarray:
+    r"""Batched homogeneous transform of ``(*, 3)`` points by ``(*, 4, 4)``
+    matrices broadcast over the point dims (reference ``transform_pts_nd_KF``
+    geometryutils.py:361-411)."""
+    pts = jnp.asarray(pts)
+    transform = jnp.asarray(transform)
+    if transform.ndim == 2:
+        return transform_pts_3d(pts, transform)
+    rmat = transform[..., :3, :3]
+    tvec = transform[..., :3, 3]
+    out = matmul_hp(rmat[..., None, :, :], pts[..., None])[..., 0]
+    return out + tvec[..., None, :]
+
+
+# Reference alias (geometryutils.py:361) — "KF" for KinectFusion-style usage.
+transform_pts_nd_KF = transform_pts_nd
+
+
+def normalize_pixel_coords(pixel_coords, height: int, width: int) -> jnp.ndarray:
+    r"""Map pixel coordinates (x=col, y=row order) from ``[0, W-1] x [0, H-1]``
+    to ``[-1, 1]`` (reference geometryutils.py:481-529)."""
+    pixel_coords = jnp.asarray(pixel_coords)
+    if pixel_coords.shape[-1] != 2:
+        raise ValueError(
+            f"pixel_coords must have shape (*, 2). Got {pixel_coords.shape}."
+        )
+    wh = jnp.asarray([width - 1, height - 1], dtype=pixel_coords.dtype)
+    return 2.0 * pixel_coords / wh - 1.0
+
+
+def unnormalize_pixel_coords(pixel_coords_norm, height: int, width: int) -> jnp.ndarray:
+    r"""Inverse of :func:`normalize_pixel_coords`
+    (reference geometryutils.py:531-574)."""
+    pixel_coords_norm = jnp.asarray(pixel_coords_norm)
+    if pixel_coords_norm.shape[-1] != 2:
+        raise ValueError(
+            f"pixel_coords_norm must have shape (*, 2). Got {pixel_coords_norm.shape}."
+        )
+    wh = jnp.asarray([width - 1, height - 1], dtype=pixel_coords_norm.dtype)
+    return (pixel_coords_norm + 1.0) * wh / 2.0
+
+
+def cam2pixel(cam_coords_src, dst_proj_src, eps: float = 1e-6) -> jnp.ndarray:
+    r"""Transform camera-frame coordinates to pixel coordinates ``(u, v)``
+    with the z != 0 divide guard (reference geometryutils.py:611-653)."""
+    cam_coords_src = jnp.asarray(cam_coords_src)
+    if cam_coords_src.shape[-1] != 3:
+        raise ValueError(
+            f"cam_coords_src must have shape (*, 3). Got {cam_coords_src.shape}."
+        )
+    pts = transform_pts_3d(cam_coords_src, dst_proj_src)
+    z = pts[..., 2]
+    zg = jnp.where(z == 0, jnp.ones_like(z), z)
+    return jnp.stack([pts[..., 0] / zg, pts[..., 1] / zg], axis=-1)
+
+
+def pixel2cam(depth, intrinsics_inv, pixel_coords) -> jnp.ndarray:
+    r"""Unproject a grid of homogeneous pixel coordinates with per-pixel depth
+    into the camera frame (reference geometryutils.py:655-735)."""
+    depth = jnp.asarray(depth)
+    pixel_coords = jnp.asarray(pixel_coords)
+    cam = transform_pts_3d(pixel_coords, intrinsics_inv)
+    return cam * depth[..., None]
+
+
 def normalize_quaternion(quaternion, eps: float = 1e-12) -> jnp.ndarray:
     r"""Normalize a quaternion ``(*, 4)`` to unit norm."""
     quaternion = jnp.asarray(quaternion)
@@ -158,3 +243,17 @@ def quaternion_to_rotation_matrix(quaternion) -> jnp.ndarray:
     row1 = jnp.stack([txy + twz, 1.0 - (txx + tzz), tyz - twx], axis=-1)
     row2 = jnp.stack([txz - twy, tyz + twx, 1.0 - (txx + tyy)], axis=-1)
     return jnp.stack([row0, row1, row2], axis=-2)
+
+
+def quaternion_to_axisangle(quaternion, eps: float = 1e-12) -> jnp.ndarray:
+    r"""Convert quaternion(s) ``(*, 4)`` in (x, y, z, w) order to axis-angle
+    vectors ``(*, 3)`` (reference geometryutils.py:100-146)."""
+    q = normalize_quaternion(jnp.asarray(quaternion), eps)
+    xyz = q[..., :3]
+    w = q[..., 3]
+    sin_half = jnp.linalg.norm(xyz, axis=-1)
+    # numerically safe atan2-based angle
+    half_angle = jnp.arctan2(sin_half, w)
+    safe_sin = jnp.where(sin_half < eps, jnp.ones_like(sin_half), sin_half)
+    scale = jnp.where(sin_half < eps, 2.0, 2.0 * half_angle / safe_sin)
+    return xyz * scale[..., None]

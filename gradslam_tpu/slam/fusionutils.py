@@ -417,9 +417,15 @@ def update_map_fusion(
     # --- 3. gating against the frame pixel each point hits ---------------
     vertex_flat = rgbdimages.global_vertex_map.reshape(B, HW, 3)
     normal_flat = rgbdimages.global_normal_map.reshape(B, HW, 3)
+    # One packed 8-wide gather instead of two 3-wide ones (row gathers cost
+    # ~the same up to 32-byte rows; two gathers cost double).
+    frame_geom = jnp.concatenate(
+        [vertex_flat, normal_flat, jnp.zeros((B, HW, 2), vertex_flat.dtype)],
+        axis=-1,
+    )
     safe_pix = jnp.minimum(act_pix, HW - 1)
-    fp = jnp.take_along_axis(vertex_flat, safe_pix[..., None], axis=1)
-    fn = jnp.take_along_axis(normal_flat, safe_pix[..., None], axis=1)
+    fgeom = jnp.take_along_axis(frame_geom, safe_pix[..., None], axis=1)
+    fp, fn = fgeom[..., :3], fgeom[..., 3:6]
     is_close = jnp.linalg.norm(fp - w_pts, axis=-1) < dist_th
     is_similar = jnp.sum(fn * w_nrm, axis=-1) > dot_th
     eligible = act_valid & is_close & is_similar
