@@ -237,3 +237,47 @@ class TestMapUpdates:
         g = jax.grad(loss)(frames.depth_image)
         assert np.all(np.isfinite(np.asarray(g)))
         assert float(jnp.abs(g).max()) > 0
+
+
+class TestFastPathConsistency:
+    """The windowed/sorted TPU fast path (update_map_fusion) must agree with
+    the dense parity path (find_correspondences + fuse_with_map)."""
+
+    def test_windowed_equals_dense(self, msrd):
+        from gradslam_tpu.slam.fusionutils import (
+            find_correspondences,
+            fuse_with_map,
+        )
+
+        frames = RGBDImages(
+            rgb_image=jnp.asarray(msrd["colors"]),
+            depth_image=jnp.asarray(msrd["depths"]),
+            intrinsics=jnp.asarray(msrd["intrinsics"]),
+            poses=jnp.asarray(msrd["poses"]),
+        )
+        dist_th, dot_th, sigma = 0.05, float(np.cos(np.radians(20))), 0.6
+        pc = Pointclouds.empty(2, 2 * 120 * 160)
+        pc = update_map_fusion(pc, frames[:, 0], dist_th, dot_th, sigma)
+
+        fast = update_map_fusion(pc, frames[:, 1], dist_th, dot_th, sigma)
+
+        active, winner, corresponded = find_correspondences(
+            pc, frames[:, 1], dist_th, dot_th
+        )
+        dense = fuse_with_map(pc, frames[:, 1], active, winner, corresponded, sigma)
+
+        np.testing.assert_array_equal(
+            np.asarray(fast.num_points), np.asarray(dense.num_points)
+        )
+        # same point set (fast path may order appends identically here)
+        for b in range(2):
+            np.testing.assert_allclose(
+                np.sort(fast.points_list[b], axis=0),
+                np.sort(dense.points_list[b], axis=0),
+                atol=1e-5,
+            )
+        np.testing.assert_allclose(
+            float(jnp.sum(fast.features * fast.nonpad_mask[..., None])),
+            float(jnp.sum(dense.features * dense.nonpad_mask[..., None])),
+            rtol=1e-5,
+        )
