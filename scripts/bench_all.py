@@ -29,7 +29,7 @@ def run():
 
     results = []
 
-    def timed(tag, fn, frames, B, L, iters=3):
+    def timed(tag, fn, frames, B, L, iters=3, baseline=None):
         out = fn(frames)
         _ = float(out[0].num_points[0])
         t0 = time.perf_counter()
@@ -37,9 +37,10 @@ def run():
             out = fn(frames)
             _ = float(out[0].num_points[0])
         dt = (time.perf_counter() - t0) / iters
-        results.append(
-            {"metric": tag, "value": round(B * L / dt, 2), "unit": "frames/s"}
-        )
+        entry = {"metric": tag, "value": round(B * L / dt, 2), "unit": "frames/s"}
+        if baseline:
+            entry["vs_baseline"] = round(B * L / dt / baseline, 1)
+        results.append(entry)
 
     # config 2/3: tracked odometry at 320x240 (dsratio 4)
     B, L, H, W = 1, 30, 240, 320
@@ -49,9 +50,9 @@ def run():
         jnp.asarray(poses),
     )
     icp = ICPSLAM(odom="icp", dsratio=4, numiters=10, map_capacity=500_000)
-    timed("ICPSLAM(icp) 320x240 frames/s", icp, frames, B, L)
+    timed("ICPSLAM(icp) 320x240 frames/s", icp, frames, B, L, baseline=0.121)
     gicp = PointFusion(odom="gradicp", dsratio=4, numiters=10, map_capacity=500_000)
-    timed("PointFusion(gradicp) 320x240 frames/s", gicp, frames, B, L)
+    timed("PointFusion(gradicp) 320x240 frames/s", gicp, frames, B, L, baseline=0.323)
 
     # config 5: batched differentiable SLAM (grad wrt depth + intrinsics)
     B, L, H, W = 8, 4, 120, 160
