@@ -124,3 +124,26 @@ class TestOdometrySLAM:
         err = np.abs(np.asarray(poses) - gt).max()
         assert err < 0.05, f"pose error {err}"
         assert np.all(np.isfinite(np.asarray(pc.points)))
+
+
+class TestTrackedTrajectoryParity:
+    """North-star accuracy criterion (BASELINE.md): ATE-RMSE parity with the
+    reference's tracked SLAM on the golden clip. Reference trajectories were
+    generated with scripts/reference_shim.py."""
+
+    @pytest.mark.parametrize("odom", ["icp", "gradicp"])
+    def test_poses_match_reference(self, msrd, odom):
+        from gradslam_tpu.metrics import ate_rmse
+
+        frames = make_frames(msrd)
+        slam = PointFusion(odom=odom, dsratio=4, numiters=20)
+        _, poses = slam(frames)
+        ref = np.load(os.path.join(GOLDEN, f"pointfusion_{odom}_poses.npy"))
+        # trajectories agree to sub-mm on this clip
+        assert np.abs(np.asarray(poses) - ref).max() < 2e-3
+        # and the ATE against ground truth matches the reference's ATE
+        gt = jnp.asarray(msrd["poses"])
+        for b in range(2):
+            ate_ours = float(ate_rmse(poses[b], gt[b], align=False))
+            ate_ref = float(ate_rmse(jnp.asarray(ref[b]), gt[b], align=False))
+            assert abs(ate_ours - ate_ref) < 1e-4, (ate_ours, ate_ref)
