@@ -325,6 +325,20 @@ class Pointclouds:
         return self.scale(1.0 / jnp.asarray(other))
 
     # ------------------------------------------------------------------ #
+    # Tensor-semantics conveniences (reference clone/detach/to,
+    # pointclouds.py:997-1115 — JAX arrays are immutable, so clone is a
+    # structural copy and detach stops gradients)
+    # ------------------------------------------------------------------ #
+    def clone(self) -> "Pointclouds":
+        return jax.tree_util.tree_map(jnp.array, self)
+
+    def detach(self) -> "Pointclouds":
+        return jax.tree_util.tree_map(jax.lax.stop_gradient, self)
+
+    def to(self, device) -> "Pointclouds":
+        return jax.device_put(self, device)
+
+    # ------------------------------------------------------------------ #
     # Map growth (the reference's append_points, pointclouds.py:1117)
     # ------------------------------------------------------------------ #
     def append_masked(

@@ -132,6 +132,17 @@ class RGBDImages:
     def with_poses(self, poses) -> "RGBDImages":
         return dataclasses.replace(self, poses=jnp.asarray(poses))
 
+    # Tensor-semantics conveniences (reference clone/detach/to,
+    # rgbdimages.py:465-541).
+    def clone(self) -> "RGBDImages":
+        return jax.tree_util.tree_map(jnp.array, self)
+
+    def detach(self) -> "RGBDImages":
+        return jax.tree_util.tree_map(jax.lax.stop_gradient, self)
+
+    def to(self, device) -> "RGBDImages":
+        return jax.device_put(self, device)
+
     # ------------------------------------------------------------------ #
     # Derived maps (pure functions of the fields)
     # ------------------------------------------------------------------ #

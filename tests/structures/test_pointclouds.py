@@ -166,3 +166,27 @@ class TestFromRGBD:
         valid = (msrd["depths"][:, 0, ..., 0] > 0).reshape(2, -1)
         golden = msrd["vertex_map"][:, 0].reshape(2, -1, 3)
         np.testing.assert_allclose(pc.points_list[0], golden[0][valid[0]], atol=1e-4)
+
+
+class TestTensorSemantics:
+    def test_clone_is_independent_copy(self):
+        pts, _, _ = make_clouds()
+        pc = Pointclouds.from_list(pts, capacity=8)
+        c = pc.clone()
+        np.testing.assert_allclose(np.asarray(c.points), np.asarray(pc.points))
+        assert c is not pc
+
+    def test_detach_stops_gradients(self):
+        pc = Pointclouds.empty(1, 4, has_normals=False, has_colors=False, feature_dim=None)
+
+        def loss(x):
+            p = Pointclouds(points=x, num_points=jnp.asarray([4], jnp.int32))
+            return jnp.sum(p.detach().points ** 2)
+
+        g = jax.grad(loss)(jnp.ones((1, 4, 3)))
+        assert float(jnp.abs(g).max()) == 0.0
+
+    def test_to_device(self):
+        pc = Pointclouds.empty(1, 4)
+        out = pc.to(jax.devices()[0])
+        assert out.points.device == jax.devices()[0]
