@@ -9,7 +9,7 @@ host/device boundary stays explicit: nothing here touches JAX.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional
 
 import numpy as np
 

@@ -8,7 +8,7 @@ r"""Host-side dataset numerics (parity with
 from __future__ import annotations
 
 import warnings
-from typing import List, Sequence, Tuple, Union
+from typing import List, Sequence, Union
 
 import numpy as np
 

@@ -13,7 +13,7 @@ import glob
 import os
 import re
 from collections import OrderedDict
-from typing import Optional, Union
+from typing import Union
 
 import numpy as np
 

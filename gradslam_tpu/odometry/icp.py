@@ -8,7 +8,7 @@ batch solve in parallel on-chip.
 
 from __future__ import annotations
 
-from typing import Optional, Union
+from typing import Union
 
 import jax
 import jax.numpy as jnp

@@ -23,7 +23,6 @@ batch in Python — odometry/icp.py:84-95).
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -34,7 +33,7 @@ from ..geometry.se3utils import se3_exp
 from ..ops import nn_points_auto
 from ..structures.pointclouds import Pointclouds, compact_masked
 from ..structures.rgbdimages import RGBDImages
-from ..utils.precision import HIGHEST, matmul_hp
+from ..utils.precision import matmul_hp
 
 __all__ = [
     "solve_linear_system",

@@ -19,7 +19,6 @@ color, and intrinsics.
 
 from __future__ import annotations
 
-import functools
 import math
 from typing import Optional, Tuple
 
