@@ -206,20 +206,21 @@ class RGBDImages:
             axis=-3,
         )
         normal = jnp.cross(dhoriz, dverti)
-        norm = jnp.linalg.norm(normal, axis=-1, keepdims=True)
         # Degenerate pixels (parallel tangents) must map to a zero normal. The
         # reference tests norm == 0 exactly (rgbdimages.py:737); under XLA, FMA
         # contraction in the cross product leaves ~ulp(|a||b|) noise where it
         # is mathematically zero, so test the *angle* instead: ||a x b|| =
         # |a||b| sin(theta), and sin(theta) below 1e-6 is parallel for fp32.
-        scale = (
-            jnp.linalg.norm(dhoriz, axis=-1, keepdims=True)
-            * jnp.linalg.norm(dverti, axis=-1, keepdims=True)
+        # Everything is gated in the SQUARED domain with a double-where on the
+        # sqrt — sqrt(0) has an infinite derivative that would otherwise
+        # poison gradients at masked/degenerate pixels.
+        norm_sq = jnp.sum(normal * normal, axis=-1, keepdims=True)
+        scale_sq = jnp.sum(dhoriz * dhoriz, axis=-1, keepdims=True) * jnp.sum(
+            dverti * dverti, axis=-1, keepdims=True
         )
-        degenerate = norm <= 1e-6 * scale
-        normal = jnp.where(
-            degenerate, jnp.zeros_like(normal), normal / jnp.where(degenerate, 1.0, norm)
-        )
+        degenerate = norm_sq <= 1e-12 * scale_sq
+        norm = jnp.sqrt(jnp.where(degenerate, 1.0, norm_sq))
+        normal = jnp.where(degenerate, jnp.zeros_like(normal), normal / norm)
         return normal * self.valid_depth_mask.astype(normal.dtype)
 
     @property

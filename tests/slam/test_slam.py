@@ -147,3 +147,30 @@ class TestTrackedTrajectoryParity:
             ate_ours = float(ate_rmse(poses[b], gt[b], align=False))
             ate_ref = float(ate_rmse(jnp.asarray(ref[b]), gt[b], align=False))
             assert abs(ate_ours - ate_ref) < 1e-4, (ate_ours, ate_ref)
+
+
+class TestTrackedDifferentiability:
+    """The gradSLAM thesis: gradients flow through the full tracked pipeline —
+    GradICP odometry + fusion — from the trajectory back to raw depth."""
+
+    def test_grad_of_trajectory_wrt_depth_through_gradicp(self, msrd):
+        frames = RGBDImages(
+            rgb_image=jnp.asarray(msrd["colors"][:1, :2, ::4, ::4]),
+            depth_image=jnp.asarray(msrd["depths"][:1, :2, ::4, ::4]),
+            intrinsics=jnp.asarray(
+                np.diag([0.25, 0.25, 1.0, 1.0]).astype(np.float32) @ msrd["intrinsics"][:1]
+            ),
+            poses=jnp.asarray(msrd["poses"][:1, :2]),
+        )
+        slam = PointFusion(odom="gradicp", dsratio=2, numiters=4, use_jit=False)
+
+        def loss(depth):
+            fr = RGBDImages(frames.rgb_image, depth, frames.intrinsics, frames.poses)
+            pc, poses = slam.forward(fr)
+            # trajectory loss (e.g., against an external signal)
+            return jnp.sum(poses[:, -1, :3, 3] ** 2)
+
+        g = jax.grad(loss)(frames.depth_image)
+        g = np.asarray(g)
+        assert np.all(np.isfinite(g))
+        assert float(np.abs(g).max()) > 0, "no gradient reached the depth map"
