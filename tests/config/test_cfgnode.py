@@ -98,3 +98,20 @@ class TestCfgNode:
         c2 = cfg.clone()
         c2.SLAM.odom = "icp"
         assert cfg.SLAM.odom == "gradicp"
+
+
+class TestLoadCfgPyModule:
+    def test_load_from_python_file(self, tmp_path):
+        f = tmp_path / "mycfg.py"
+        f.write_text("cfg = {'SLAM': {'odom': 'icp', 'dsratio': 2}}\n")
+        with open(str(f)) as fh:
+            cfg = load_cfg(fh)
+        assert cfg.SLAM.odom == "icp"
+        assert cfg.SLAM.dsratio == 2
+
+    def test_py_module_without_cfg_raises(self, tmp_path):
+        f = tmp_path / "bad.py"
+        f.write_text("not_cfg = 1\n")
+        with pytest.raises(AssertionError):
+            with open(str(f)) as fh:
+                load_cfg(fh)
