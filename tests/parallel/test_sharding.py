@@ -89,3 +89,18 @@ class TestDataParallel:
         assert np.all(np.isfinite(np.asarray(g_depth)))
         assert np.all(np.isfinite(np.asarray(g_intr)))
         assert float(jnp.abs(g_depth).max()) > 0
+
+
+class TestTrackedSharded:
+    def test_gradicp_pipeline_shards(self, mesh):
+        """The full tracked pipeline (GradICP + fusion) must compile and run
+        batch-sharded across the mesh."""
+        frames = synthetic_frames(8, L=2, H=16, W=24)
+        dp = DataParallelSLAM(
+            PointFusion(odom="gradicp", dsratio=2, numiters=2, map_capacity=1024),
+            mesh,
+        )
+        pc, poses = dp(frames)
+        assert poses.shape == (8, 2, 4, 4)
+        assert np.all(np.isfinite(np.asarray(poses)))
+        assert np.all(np.isfinite(np.asarray(pc.points)))
