@@ -50,6 +50,9 @@ class ICPSLAM:
         icp_capacity: fixed capacity of the downsampled ICP target buffer;
             default ``ceil(H/ds) * ceil(W/ds) * 2``.
         use_jit: jit-compile forward/step (disable for debugging).
+        remat: apply ``jax.checkpoint`` to the scan body — end-to-end
+            gradients over long sequences then rematerialise per-frame
+            activations instead of holding O(L x capacity) residuals.
     """
 
     has_features = False  # aggregate maps carry no confidence channel
@@ -69,6 +72,7 @@ class ICPSLAM:
         map_capacity: Optional[int] = None,
         icp_capacity: Optional[int] = None,
         use_jit: bool = True,
+        remat: bool = False,
     ):
         if odom not in ("gt", "icp", "gradicp"):
             raise ValueError(
@@ -80,6 +84,7 @@ class ICPSLAM:
         self.dsratio = dsratio
         self.map_capacity = map_capacity
         self.icp_capacity = icp_capacity
+        self.remat = remat
         if odom == "icp":
             self.odomprov = ICPOdometryProvider(numiters, damp, dist_thresh)
         elif odom == "gradicp":
@@ -214,6 +219,8 @@ class ICPSLAM:
                 )
                 return self._map(map_pc, live), pose
 
+            if self.remat:
+                body = jax.checkpoint(body)
             map_pc, poses_out = jax.lax.scan(body, map_pc, (rgb_l, depth_l, poses_l))
             return map_pc, jnp.moveaxis(poses_out, 0, 1)
 
@@ -245,6 +252,8 @@ class ICPSLAM:
             map_pc = self._map(map_pc, live)
             return (map_pc, poses[:, 0]), poses[:, 0]
 
+        if self.remat:
+            body = jax.checkpoint(body)
         (map_pc, _), poses_rest = jax.lax.scan(body, (map_pc, pose0), (rgb_l, depth_l))
         poses_out = jnp.concatenate(
             [pose0[:, None], jnp.moveaxis(poses_rest, 0, 1)], axis=1

@@ -44,6 +44,7 @@ class PointFusion(ICPSLAM):
         icp_capacity: Optional[int] = None,
         active_capacity: Optional[int] = None,
         use_jit: bool = True,
+        remat: bool = False,
     ):
         super().__init__(
             odom=odom,
@@ -58,6 +59,7 @@ class PointFusion(ICPSLAM):
             map_capacity=map_capacity,
             icp_capacity=icp_capacity,
             use_jit=use_jit,
+            remat=remat,
         )
         if dist_th < 0:
             import warnings

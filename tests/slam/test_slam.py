@@ -174,3 +174,27 @@ class TestTrackedDifferentiability:
         g = np.asarray(g)
         assert np.all(np.isfinite(g))
         assert float(np.abs(g).max()) > 0, "no gradient reached the depth map"
+
+
+class TestRemat:
+    def test_remat_forward_matches_and_grads_flow(self, msrd):
+        frames = make_frames(msrd, B=1, L=3)
+        base = PointFusion(odom="gt", use_jit=False)
+        slam = PointFusion(odom="gt", use_jit=False, remat=True)
+        pc0, poses0 = base(frames)
+        pc1, poses1 = slam(frames)
+        np.testing.assert_array_equal(
+            np.asarray(pc0.num_points), np.asarray(pc1.num_points)
+        )
+        np.testing.assert_allclose(
+            np.asarray(pc0.points), np.asarray(pc1.points), atol=1e-6
+        )
+
+        def loss(depth):
+            fr = RGBDImages(frames.rgb_image, depth, frames.intrinsics, frames.poses)
+            pc, _ = slam(fr)
+            return jnp.sum(pc.points**2)
+
+        g = jax.grad(loss)(frames.depth_image)
+        assert np.all(np.isfinite(np.asarray(g)))
+        assert float(jnp.abs(g).max()) > 0
