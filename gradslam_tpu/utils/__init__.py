@@ -1,6 +1,7 @@
 from .checkpoint import load_state, save_state
 from .precision import HIGHEST, einsum_hp, matmul_hp
 from .profiling import annotate, device_timer, trace
+from .trajectory_io import load_trajectory_tum, save_trajectory_tum
 
 __all__ = [
     "HIGHEST",
@@ -11,4 +12,6 @@ __all__ = [
     "annotate",
     "trace",
     "device_timer",
+    "save_trajectory_tum",
+    "load_trajectory_tum",
 ]
