@@ -43,6 +43,7 @@ class PointFusion(ICPSLAM):
         map_capacity: Optional[int] = None,
         icp_capacity: Optional[int] = None,
         active_capacity: Optional[int] = None,
+        association: str = "auto",
         use_jit: bool = True,
         remat: bool = False,
     ):
@@ -75,6 +76,7 @@ class PointFusion(ICPSLAM):
         self.dot_th = math.cos(angle_th * math.pi / 180.0)
         self.sigma = sigma
         self.active_capacity = active_capacity
+        self.association = association
 
     def _map(self, pointclouds: Pointclouds, live_frame: RGBDImages) -> Pointclouds:
         return update_map_fusion(
@@ -84,4 +86,5 @@ class PointFusion(ICPSLAM):
             self.dot_th,
             self.sigma,
             active_capacity=self.active_capacity,
+            association=self.association,
         )

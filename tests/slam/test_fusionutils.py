@@ -281,3 +281,37 @@ class TestFastPathConsistency:
             float(jnp.sum(dense.features * dense.nonpad_mask[..., None])),
             rtol=1e-5,
         )
+
+
+class TestAssociationModes:
+    """'sort_full' and 'windowed' association must agree when the window is
+    large enough to hold all active points."""
+
+    def test_modes_agree(self, msrd):
+        frames = RGBDImages(
+            rgb_image=jnp.asarray(msrd["colors"]),
+            depth_image=jnp.asarray(msrd["depths"]),
+            intrinsics=jnp.asarray(msrd["intrinsics"]),
+            poses=jnp.asarray(msrd["poses"]),
+        )
+        dist_th, dot_th, sigma = 0.05, float(np.cos(np.radians(20))), 0.6
+        pc = Pointclouds.empty(2, 2 * 120 * 160)
+        pc = update_map_fusion(pc, frames[:, 0], dist_th, dot_th, sigma)
+        a = update_map_fusion(pc, frames[:, 1], dist_th, dot_th, sigma,
+                              association="sort_full")
+        b = update_map_fusion(pc, frames[:, 1], dist_th, dot_th, sigma,
+                              association="windowed")
+        np.testing.assert_array_equal(np.asarray(a.num_points), np.asarray(b.num_points))
+        np.testing.assert_allclose(np.asarray(a.points), np.asarray(b.points), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(a.features), np.asarray(b.features), atol=1e-6)
+
+    def test_bad_mode_raises(self, msrd):
+        frames = RGBDImages(
+            rgb_image=jnp.asarray(msrd["colors"][:1, :1]),
+            depth_image=jnp.asarray(msrd["depths"][:1, :1]),
+            intrinsics=jnp.asarray(msrd["intrinsics"][:1]),
+            poses=jnp.asarray(msrd["poses"][:1, :1]),
+        )
+        with pytest.raises(ValueError):
+            update_map_fusion(Pointclouds.empty(1, 64), frames, 0.05, 0.9, 0.6,
+                              association="bogus")
