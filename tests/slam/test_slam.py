@@ -198,3 +198,17 @@ class TestRemat:
         g = jax.grad(loss)(frames.depth_image)
         assert np.all(np.isfinite(np.asarray(g)))
         assert float(jnp.abs(g).max()) > 0
+
+
+class TestNoRetrace:
+    def test_step_does_not_retrace_on_same_shapes(self, msrd):
+        """Repeated step() calls with same-shaped inputs must reuse the
+        compiled program (a retrace would silently destroy throughput)."""
+        frames = make_frames(msrd, B=1, L=2)
+        slam = PointFusion(odom="gradicp", dsratio=4, numiters=2, map_capacity=1024)
+        pc = Pointclouds.empty(1, 1024)
+        pc, _ = slam.step(pc, frames[:, 1], frames[:, 0])
+        n_compiles = slam._step._cache_size()
+        for _ in range(3):
+            pc, _ = slam.step(pc, frames[:, 1], frames[:, 0])
+        assert slam._step._cache_size() == n_compiles
