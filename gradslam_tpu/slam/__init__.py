@@ -1,5 +1,5 @@
-from .fusionutils import update_map_aggregate, update_map_fusion
+from .fusionutils import prune_map, update_map_aggregate, update_map_fusion
 from .icpslam import ICPSLAM
 from .pointfusion import PointFusion
 
-__all__ = ["ICPSLAM", "PointFusion", "update_map_fusion", "update_map_aggregate"]
+__all__ = ["ICPSLAM", "PointFusion", "update_map_fusion", "update_map_aggregate", "prune_map"]

@@ -37,7 +37,7 @@ from ..geometry.geometryutils import transform_pointcloud
 from ..structures.pointclouds import Pointclouds
 from ..structures.rgbdimages import RGBDImages
 
-__all__ = ["update_map_fusion", "update_map_aggregate"]
+__all__ = ["update_map_fusion", "update_map_aggregate", "prune_map"]
 
 _INT_SENTINEL = jnp.int32(2**30)
 
@@ -593,5 +593,40 @@ def update_map_aggregate(
         valid,
         normals=normal_flat if pointclouds.normals is not None else None,
         colors=color_flat if pointclouds.colors is not None else None,
+        features=features,
+    )
+
+
+def prune_map(
+    pointclouds: Pointclouds,
+    min_confidence: Union[float, int],
+) -> Pointclouds:
+    r"""Remove low-confidence (unstable) map points.
+
+    Keller et al.'s point-based fusion removes points whose confidence counter
+    stays below a stability threshold; the reference never implemented this
+    stage. With the fixed-capacity padded buffer it is one masked compaction:
+    survivors are packed to the front and the live counter shrinks, freeing
+    capacity for new points. Jit/scan-safe and differentiable.
+    """
+    if pointclouds.features is None:
+        raise ValueError("Pointclouds must have features (ccounts) to prune.")
+    keep = pointclouds.nonpad_mask & (
+        pointclouds.features[..., 0] >= min_confidence
+    )
+    cap = pointclouds.capacity
+    from ..structures.pointclouds import compact_masked
+
+    points, counts = compact_masked(pointclouds.points, keep, cap)
+    normals = None
+    colors = None
+    features = None
+    if pointclouds.normals is not None:
+        normals, _ = compact_masked(pointclouds.normals, keep, cap)
+    if pointclouds.colors is not None:
+        colors, _ = compact_masked(pointclouds.colors, keep, cap)
+    features, _ = compact_masked(pointclouds.features, keep, cap)
+    return Pointclouds(
+        points=points, num_points=counts, normals=normals, colors=colors,
         features=features,
     )

@@ -315,3 +315,50 @@ class TestAssociationModes:
         with pytest.raises(ValueError):
             update_map_fusion(Pointclouds.empty(1, 64), frames, 0.05, 0.9, 0.6,
                               association="bogus")
+
+
+class TestPruneMap:
+    def test_removes_low_confidence(self):
+        from gradslam_tpu.slam import prune_map
+
+        pc = Pointclouds(
+            points=jnp.arange(12, dtype=jnp.float32).reshape(1, 4, 3),
+            num_points=jnp.asarray([4], jnp.int32),
+            normals=jnp.ones((1, 4, 3)),
+            colors=jnp.ones((1, 4, 3)),
+            features=jnp.asarray([[[2.0], [0.5], [3.0], [0.1]]]),
+        )
+        out = prune_map(pc, min_confidence=1.0)
+        assert int(out.num_points[0]) == 2
+        np.testing.assert_allclose(
+            np.asarray(out.points[0, :2]),
+            np.asarray(pc.points[0, jnp.asarray([0, 2])]),
+        )
+        np.testing.assert_allclose(np.asarray(out.features[0, :2, 0]), [2.0, 3.0])
+
+    def test_requires_features(self):
+        from gradslam_tpu.slam import prune_map
+
+        pc = Pointclouds.empty(1, 4, feature_dim=None)
+        with pytest.raises(ValueError):
+            prune_map(pc, 1.0)
+
+    def test_jittable_and_differentiable(self):
+        from gradslam_tpu.slam import prune_map
+
+        pc = Pointclouds(
+            points=jnp.ones((1, 8, 3)),
+            num_points=jnp.asarray([8], jnp.int32),
+            normals=jnp.ones((1, 8, 3)),
+            colors=jnp.ones((1, 8, 3)),
+            features=jnp.ones((1, 8, 1)) * 2.0,
+        )
+        out = jax.jit(lambda p: prune_map(p, 1.0))(pc)
+        assert int(out.num_points[0]) == 8
+
+        def loss(pts):
+            p2 = Pointclouds(pts, pc.num_points, pc.normals, pc.colors, pc.features)
+            return jnp.sum(prune_map(p2, 1.0).points ** 2)
+
+        g = jax.grad(loss)(pc.points)
+        assert np.all(np.isfinite(np.asarray(g)))
