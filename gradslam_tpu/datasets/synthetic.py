@@ -1,0 +1,117 @@
+r"""Synthetic RGB-D sequences (no reference equivalent).
+
+A procedurally rendered static scene — a gently wavy wall observed by a
+slowly translating camera with mm-scale sensor noise — geometrically
+consistent across frames so projective data association behaves as on real
+TUM clips. Used by the benchmark harness; useful anywhere real data isn't
+available (CI, smoke tests, demos).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from .base import RGBDSequenceDataset
+
+__all__ = ["SyntheticRGBD", "synthetic_sequence"]
+
+
+def synthetic_sequence(B: int, L: int, H: int, W: int, seed: int = 0):
+    r"""Render a batch of synthetic sequences.
+
+    Returns numpy ``(rgb (B,L,H,W,3), depths (B,L,H,W,1),
+    intrinsics (B,1,4,4), poses (B,L,4,4))``, all float32.
+    """
+    rng = np.random.RandomState(seed)
+    fx = 0.8 * W
+    cx, cy = (W - 1) / 2.0, (H - 1) / 2.0
+    ys, xs = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+
+    def render_depth(tx, tz):
+        # Solve z_c s.t. the camera ray hits the world surface
+        # z_w(x_w, y_w) = 1.5 + 0.05 sin(x_w / 0.2) + 0.04 cos(y_w / 0.15)
+        # with the camera at (tx, 0, tz); fixed-point iteration suffices for
+        # this gentle relief.
+        z = np.full((H, W), 1.5, dtype=np.float64)
+        for _ in range(4):
+            x_w = (xs - cx) / fx * z + tx
+            y_w = (ys - cy) / fx * z
+            z = (1.5 + 0.05 * np.sin(x_w / 0.2) + 0.04 * np.cos(y_w / 0.15)) - tz
+        return z
+
+    depths = np.stack(
+        [
+            render_depth(0.005 * s, 0.002 * s) + 0.0002 * rng.rand(H, W)
+            for s in range(L)
+        ]
+        * B
+    ).reshape(B, L, H, W, 1).astype(np.float32)
+    rgb = rng.rand(B, L, H, W, 3).astype(np.float32)
+    K = np.eye(4, dtype=np.float32)
+    K[0, 0] = K[1, 1] = fx
+    K[0, 2], K[1, 2] = cx, cy
+    intrinsics = np.tile(K, (B, 1, 1, 1))
+    poses = []
+    for s in range(L):
+        P = np.eye(4, dtype=np.float32)
+        P[0, 3] = 0.005 * s
+        P[2, 3] = 0.002 * s
+        poses.append(P)
+    poses = np.tile(np.stack(poses), (B, 1, 1, 1))
+    return rgb, depths, intrinsics, poses
+
+
+class SyntheticRGBD(RGBDSequenceDataset):
+    r"""Dataset-API wrapper over :func:`synthetic_sequence`: ``num_sequences``
+    samples, each ``(colors, depths, intrinsics, poses, transforms, name)``,
+    matching the TUM/ICL return contract."""
+
+    def __init__(
+        self,
+        num_sequences: int = 1,
+        seqlen: int = 10,
+        height: int = 240,
+        width: int = 320,
+        channels_first: bool = False,
+        normalize_color: bool = False,
+        seed: int = 0,
+    ):
+        super().__init__(
+            seqlen=seqlen,
+            height=height,
+            width=width,
+            channels_first=channels_first,
+            normalize_color=normalize_color,
+        )
+        self.num_sequences = num_sequences
+        self.seed = seed
+
+    def __len__(self):
+        return self.num_sequences
+
+    def __getitem__(self, idx: int):
+        from .datautils import channels_first as to_cf
+        from .datautils import poses_to_transforms
+
+        if not 0 <= idx < self.num_sequences:
+            raise IndexError(idx)
+        rgb, depths, intrinsics, poses = synthetic_sequence(
+            1, self.seqlen, self.height, self.width, seed=self.seed + idx
+        )
+        colors = rgb[0] * (1.0 if self.normalize_color else 255.0)
+        depths = depths[0]
+        if self.channels_first:
+            colors = to_cf(colors)
+            depths = to_cf(depths)
+        p = poses[0]
+        transforms = np.stack(poses_to_transforms(p)).astype(np.float32)
+        return (
+            colors.astype(np.float32),
+            depths,
+            intrinsics[0, 0],
+            p,
+            transforms,
+            f"synthetic_{self.seed + idx}",
+        )

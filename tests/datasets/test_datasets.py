@@ -211,3 +211,35 @@ class TestTumutils:
         traj = tumutils.read_trajectory(str(f))
         assert len(traj) == 2
         np.testing.assert_allclose(traj[2.0][:3, 3], [1, 0, 0])
+
+
+class TestSyntheticRGBD:
+    def test_dataset_contract(self):
+        from gradslam_tpu.datasets import SyntheticRGBD
+
+        ds = SyntheticRGBD(num_sequences=2, seqlen=3, height=24, width=32)
+        assert len(ds) == 2
+        colors, depths, intrinsics, poses, transforms, name = ds[0]
+        assert colors.shape == (3, 24, 32, 3)
+        assert depths.shape == (3, 24, 32, 1)
+        assert intrinsics.shape == (4, 4)
+        assert poses.shape == (3, 4, 4)
+        np.testing.assert_allclose(poses[0], np.eye(4), atol=1e-6)
+        assert name == "synthetic_0"
+
+    def test_static_scene_consistency(self):
+        """Backprojected frames must land on the same world surface (the
+        property that makes the benchmark workload honest)."""
+        import jax.numpy as jnp
+        from gradslam_tpu.datasets import synthetic_sequence
+        from gradslam_tpu import RGBDImages
+
+        rgb, depths, K, poses = synthetic_sequence(1, 3, 60, 80)
+        frames = RGBDImages(
+            jnp.asarray(rgb), jnp.asarray(depths), jnp.asarray(K), jnp.asarray(poses)
+        )
+        gvm = np.asarray(frames.global_vertex_map)
+        # same pixel across frames tracks a (nearly) static surface point:
+        # world z at the surface changes < 2 mm between consecutive frames
+        z0, z1 = gvm[0, 0, 30, 40, 2], gvm[0, 1, 30, 40, 2]
+        assert abs(z0 - z1) < 2e-3
