@@ -33,24 +33,34 @@ def main():
         jnp.asarray(rgb), jnp.asarray(depths), jnp.asarray(intrinsics),
         jnp.asarray(poses),
     )
-    # The realistic clip merges well (map ~2-3 frames' worth of points);
-    # 2M capacity leaves ample headroom while keeping per-frame O(capacity)
-    # passes cheap.
-    slam = PointFusion(odom="gt", map_capacity=1_000_000)
+    # The realistic clip merges well (final map 516k points); 655360 capacity
+    # gives ~27% headroom while keeping the per-frame O(capacity) passes cheap
+    # (every fusion stage scales with capacity, so oversizing it is pure cost).
+    slam = PointFusion(odom="gt", map_capacity=655_360)
+
+    # One outer jit around the whole run: returns the full map + trajectory
+    # (the real user-facing outputs, materialized on device) plus a scalar
+    # checksum computed ON DEVICE — on tunneled backends, host-side indexing
+    # like pc.num_points[0] dispatches a remote dynamic_slice per access
+    # (~180 ms/run of pure RTT misattributed to the pipeline).
+    @jax.jit
+    def run(fr):
+        pc, out_poses = slam(fr)
+        return pc, out_poses, pc.num_points[0] + out_poses[0, -1, 0, 3]
 
     # compile + warmup. NOTE: on tunneled TPU backends block_until_ready can
     # return before remote execution finishes, so force a scalar readback.
-    pc, out_poses = slam(frames)
-    _ = float(pc.num_points[0])
+    pc, out_poses, check = run(frames)
+    _ = float(check)
 
     # Pipelined throughput measurement: dispatch all runs, then read back —
     # on tunneled backends a per-call scalar readback costs ~0.5 s of RTT
     # which would otherwise be misattributed to device time.
     iters = 8
     t0 = time.perf_counter()
-    outs = [slam(frames) for _ in range(iters)]
-    for pc, out_poses in outs:
-        _ = float(pc.num_points[0]) + float(out_poses[0, -1, 0, 3])
+    outs = [run(frames) for _ in range(iters)]
+    for pc, out_poses, check in outs:
+        _ = float(check)
     dt = (time.perf_counter() - t0) / iters
 
     fps = (B * L) / dt

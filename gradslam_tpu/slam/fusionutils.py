@@ -350,6 +350,7 @@ def update_map_fusion(
     sigma: Union[float, int, jnp.ndarray],
     active_capacity: Optional[int] = None,
     association: str = "auto",
+    merge: str = "auto",
 ) -> Pointclouds:
     r"""One PointFusion map update from a live frame
     (reference fusionutils.py:761-789) — TPU fast path.
@@ -371,17 +372,36 @@ def update_map_fusion(
       (the window bounds every downstream sort/gather/scatter).
     - ``'sort_full'``: gate and sort ALL map rows directly — exact (no window
       overflow), but every stage is O(capacity).
-    - ``'auto'`` (default): 'windowed' unless capacity is at most the window
-      size itself (where the window adds a compaction for nothing).
+    - ``'auto'`` (default): 'windowed' only when capacity exceeds ~3 * H*W —
+      below that, sorting the whole map beats paying the compaction scatter
+      (measured crossover on v5e at the 640x480 workload: sort_full wins by
+      14% at capacity 2.1 * H*W, loses by 4% at 3.3 * H*W).
+
+    ``merge`` picks how the final map write-back happens (identical results):
+
+    - ``'scatter'``: pixel-space rows are scattered into the map buffers
+      column-at-a-time (10 single-column scatters of H*W rows).
+    - ``'gather'``: the map is REBUILT by gather — one scatter inverts the
+      pixel->row destination table into a row->pixel table, then every map row
+      gathers its new value from pixel space (two row gathers of `capacity`
+      rows) and a streaming ``where`` keeps untouched rows. TPU row gathers
+      are ~8x cheaper than scatters, so this wins until capacity outgrows
+      ~6 * H*W rows (measured: 41.9 -> 38.8 ms/frame end-to-end on the
+      640x480 1M-capacity headline workload).
+    - ``'auto'`` (default): 'gather' when ``capacity <= 6 * H * W``.
     """
     B, _, H, W = rgbdimages.shape
     cap = pointclouds.capacity
     HW = H * W
     if association == "auto":
         window = min(active_capacity if active_capacity is not None else 2 * HW, cap)
-        association = "sort_full" if cap <= window else "windowed"
+        association = "sort_full" if cap <= max(3 * HW, window) else "windowed"
     if association not in ("sort_full", "windowed"):
         raise ValueError(f"Unknown association mode: {association}")
+    if merge == "auto":
+        merge = "gather" if cap <= 6 * HW else "scatter"
+    if merge not in ("scatter", "gather"):
+        raise ValueError(f"Unknown merge mode: {merge}")
 
     # --- 1. streaming projection over the full map -----------------------
     pose = rgbdimages.poses[:, 0]
@@ -542,6 +562,40 @@ def update_map_fusion(
         corresponded, winner_row, jnp.where(new_mask & (tail < cap), tail, oob)
     )
 
+    appended = jnp.sum((new_mask & (tail < cap)).astype(jnp.int32), axis=-1)
+    num_points = pointclouds.num_points + appended
+
+    if merge == "gather":
+        # Rebuild-by-gather: invert the pixel->row map with ONE single-column
+        # scatter (destinations unique: a map row wins at most its own
+        # projected pixel; tail slots are distinct by construction), then let
+        # every map row GATHER its new value — row gathers are ~8x cheaper
+        # than row scatters on TPU.
+        row_src = (
+            jnp.full((B, cap), HW, dtype=jnp.int32)
+            .at[bidx_pix, dest]
+            .set(jnp.broadcast_to(jnp.arange(HW, dtype=jnp.int32)[None], (B, HW)),
+                 mode="drop", unique_indices=True)
+        )
+        touched = row_src < HW
+        safe_src = jnp.where(touched, row_src, 0)
+        # One packed 8-wide gather (pts | nrm | cc | pad) + one 3-wide for
+        # colors (row gathers cost the same up to 32-byte rows).
+        pix_geom = jnp.concatenate(
+            [out_pts, out_nrm, new_cc, jnp.zeros_like(new_cc)], axis=-1
+        )  # (B, HW, 8)
+        g = jnp.take_along_axis(pix_geom, safe_src[..., None], axis=1)
+        gc = jnp.take_along_axis(out_col, safe_src[..., None], axis=1)
+        t = touched[..., None]
+        return dataclasses.replace(
+            pointclouds,
+            points=jnp.where(t, g[..., :3], pointclouds.points),
+            normals=jnp.where(t, g[..., 3:6], pointclouds.normals),
+            colors=jnp.where(t, gc, pointclouds.colors),
+            features=jnp.where(t, g[..., 6:7], pointclouds.features),
+            num_points=num_points,
+        )
+
     def scatter_map(buf, vals):
         # Column-at-a-time: single-column TPU scatters are ~8x cheaper than
         # multi-column row scatters.
@@ -552,14 +606,13 @@ def update_map_fusion(
             )
         return buf
 
-    appended = jnp.sum((new_mask & (tail < cap)).astype(jnp.int32), axis=-1)
     return dataclasses.replace(
         pointclouds,
         points=scatter_map(pointclouds.points, out_pts),
         normals=scatter_map(pointclouds.normals, out_nrm),
         colors=scatter_map(pointclouds.colors, out_col),
         features=scatter_map(pointclouds.features, new_cc),
-        num_points=pointclouds.num_points + appended,
+        num_points=num_points,
     )
 
 

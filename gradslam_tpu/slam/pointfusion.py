@@ -44,6 +44,7 @@ class PointFusion(ICPSLAM):
         icp_capacity: Optional[int] = None,
         active_capacity: Optional[int] = None,
         association: str = "auto",
+        merge: str = "auto",
         use_jit: bool = True,
         remat: bool = False,
     ):
@@ -77,6 +78,7 @@ class PointFusion(ICPSLAM):
         self.sigma = sigma
         self.active_capacity = active_capacity
         self.association = association
+        self.merge = merge
 
     def _map(self, pointclouds: Pointclouds, live_frame: RGBDImages) -> Pointclouds:
         return update_map_fusion(
@@ -87,4 +89,5 @@ class PointFusion(ICPSLAM):
             self.sigma,
             active_capacity=self.active_capacity,
             association=self.association,
+            merge=self.merge,
         )

@@ -315,6 +315,66 @@ class TestAssociationModes:
         with pytest.raises(ValueError):
             update_map_fusion(Pointclouds.empty(1, 64), frames, 0.05, 0.9, 0.6,
                               association="bogus")
+        with pytest.raises(ValueError):
+            update_map_fusion(Pointclouds.empty(1, 64), frames, 0.05, 0.9, 0.6,
+                              merge="bogus")
+
+
+class TestMergeModes:
+    """'scatter' and 'gather' write-back must produce identical maps (the
+    gather mode rebuilds the buffer instead of scattering into it)."""
+
+    def test_modes_agree(self, msrd):
+        frames = RGBDImages(
+            rgb_image=jnp.asarray(msrd["colors"]),
+            depth_image=jnp.asarray(msrd["depths"]),
+            intrinsics=jnp.asarray(msrd["intrinsics"]),
+            poses=jnp.asarray(msrd["poses"]),
+        )
+        dist_th, dot_th, sigma = 0.05, float(np.cos(np.radians(20))), 0.6
+        pc = Pointclouds.empty(2, 2 * 120 * 160)
+        pc = update_map_fusion(pc, frames[:, 0], dist_th, dot_th, sigma)
+        for association in ("sort_full", "windowed"):
+            a = update_map_fusion(pc, frames[:, 1], dist_th, dot_th, sigma,
+                                  association=association, merge="scatter")
+            b = update_map_fusion(pc, frames[:, 1], dist_th, dot_th, sigma,
+                                  association=association, merge="gather")
+            np.testing.assert_array_equal(
+                np.asarray(a.num_points), np.asarray(b.num_points)
+            )
+            np.testing.assert_array_equal(np.asarray(a.points), np.asarray(b.points))
+            np.testing.assert_array_equal(np.asarray(a.normals), np.asarray(b.normals))
+            np.testing.assert_array_equal(np.asarray(a.colors), np.asarray(b.colors))
+            np.testing.assert_array_equal(
+                np.asarray(a.features), np.asarray(b.features)
+            )
+
+    def test_gather_differentiable(self, msrd):
+        frames = RGBDImages(
+            rgb_image=jnp.asarray(msrd["colors"][:1]),
+            depth_image=jnp.asarray(msrd["depths"][:1]),
+            intrinsics=jnp.asarray(msrd["intrinsics"][:1]),
+            poses=jnp.asarray(msrd["poses"][:1]),
+        )
+        dist_th, dot_th, sigma = 0.05, float(np.cos(np.radians(20))), 0.6
+        pc = Pointclouds.empty(1, 2 * 120 * 160)
+        pc = update_map_fusion(pc, frames[:, 0], dist_th, dot_th, sigma,
+                               merge="gather")
+
+        def loss(depth):
+            f = RGBDImages(
+                rgb_image=frames.rgb_image[:, 1:2],
+                depth_image=depth,
+                intrinsics=frames.intrinsics,
+                poses=frames.poses[:, 1:2],
+            )
+            out = update_map_fusion(pc, f, dist_th, dot_th, sigma,
+                                    merge="gather")
+            return jnp.sum(out.points * out.nonpad_mask[..., None])
+
+        g = jax.grad(loss)(frames.depth_image[:, 1:2])
+        assert bool(jnp.isfinite(g).all())
+        assert float(jnp.abs(g).max()) > 0
 
 
 class TestPruneMap:
