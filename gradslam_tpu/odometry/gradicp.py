@@ -32,6 +32,7 @@ class GradICPOdometryProvider(OdometryProvider):
         B: Union[float, int] = 1.0,
         B2: Union[float, int] = 1.0,
         nu: Union[float, int] = 200.0,
+        lookahead_assoc: str = "fresh",
     ):
         self.numiters = numiters
         self.damp = damp
@@ -40,6 +41,7 @@ class GradICPOdometryProvider(OdometryProvider):
         self.B = B
         self.B2 = B2
         self.nu = nu
+        self.lookahead_assoc = lookahead_assoc
 
     def provide(
         self,
@@ -74,6 +76,7 @@ class GradICPOdometryProvider(OdometryProvider):
                 nu=self.nu,
                 src_mask=src_mask,
                 tgt_mask=tgt_mask,
+                lookahead_assoc=self.lookahead_assoc,
             )
             return transform
 

@@ -28,10 +28,12 @@ class ICPOdometryProvider(OdometryProvider):
         numiters: int = 20,
         damp: float = 1e-8,
         dist_thresh: Union[float, int, None] = None,
+        lookahead_assoc: str = "fresh",
     ):
         self.numiters = numiters
         self.damp = damp
         self.dist_thresh = dist_thresh
+        self.lookahead_assoc = lookahead_assoc
 
     def provide(
         self,
@@ -62,6 +64,7 @@ class ICPOdometryProvider(OdometryProvider):
                 dist_thresh=self.dist_thresh,
                 src_mask=src_mask,
                 tgt_mask=tgt_mask,
+                lookahead_assoc=self.lookahead_assoc,
             )
             return transform
 

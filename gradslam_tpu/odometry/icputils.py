@@ -87,17 +87,32 @@ def gauss_newton_solve(
     valid = jnp.ones(src_pc.shape[0], dtype=bool) if src_mask is None else src_mask
     if dist_thresh is not None:
         valid = valid & (dists < dist_thresh)
+    A, b = _ptp_system(src_pc, jnp.take(tgt_pc, idx, axis=0),
+                       jnp.take(tgt_normals, idx, axis=0), valid)
+    return A, b, idx
 
-    assoc_pts = jnp.take(tgt_pc, idx, axis=0)  # (N, 3)
-    assoc_normals = jnp.take(tgt_normals, idx, axis=0)
 
-    s = src_pc
+def _ptp_system(s, assoc_pts, assoc_normals, valid):
+    """Masked point-to-plane linear system rows for a fixed association."""
     n = assoc_normals
     sxn = jnp.cross(s, n)  # rows [nz*sy - ny*sz, nx*sz - nz*sx, ny*sx - nx*sy]
     A = jnp.concatenate([n, sxn], axis=-1)  # (N, 6)
     b = jnp.sum(n * (assoc_pts - s), axis=-1, keepdims=True)  # (N, 1)
     validf = valid[:, None].astype(A.dtype)
-    return A * validf, b * validf, idx
+    return A * validf, b * validf
+
+
+def _reused_residual(pc, idx, tgt_pc, tgt_normals, src_mask, dist_thresh):
+    """Lookahead residual with the PREVIOUS association reused: recompute only
+    distances/residuals at the moved source positions (no second KNN)."""
+    assoc_pts = jnp.take(tgt_pc, idx, axis=0)
+    assoc_normals = jnp.take(tgt_normals, idx, axis=0)
+    valid = jnp.ones(pc.shape[0], dtype=bool) if src_mask is None else src_mask
+    if dist_thresh is not None:
+        dists = jnp.sum((pc - assoc_pts) ** 2, axis=-1)
+        valid = valid & (dists < dist_thresh)
+    _, b = _ptp_system(pc, assoc_pts, assoc_normals, valid)
+    return b
 
 
 class _ICPState(NamedTuple):
@@ -134,12 +149,22 @@ def point_to_plane_ICP(
     dist_thresh: Optional[float] = None,
     src_mask: Optional[jnp.ndarray] = None,
     tgt_mask: Optional[jnp.ndarray] = None,
+    lookahead_assoc: str = "fresh",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     r"""Point-to-plane ICP with the classic LM accept/reject loop
     (reference icputils.py:235-366), trust-region branch as ``where`` selects.
 
+    ``lookahead_assoc``: the LM lookahead error evaluation re-associates by
+    default ('fresh', reference semantics — a second KNN per iteration);
+    'reuse' keeps the iteration's association and only recomputes residuals
+    at the moved positions, halving KNN cost per iteration at slightly
+    different trust-region decisions (not an approximation of the error —
+    both are valid LM merit functions).
+
     Returns ``(transform (4, 4), chamfer_idx (N,))``.
     """
+    if lookahead_assoc not in ("fresh", "reuse"):
+        raise ValueError(f"Unknown lookahead_assoc mode: {lookahead_assoc}")
     src0, tgt_pc, tgt_normals, init_T, damp0 = _icp_common_setup(
         src_pc, tgt_pc, tgt_normals, initial_transform, damp
     )
@@ -153,7 +178,12 @@ def point_to_plane_ICP(
         residual_transform = se3_exp(xi)
         err = jnp.sum(b * b)
         one_step_pc = transform_pointcloud(state.src_pc, residual_transform)
-        _, b1, _ = gn(one_step_pc)
+        if lookahead_assoc == "reuse":
+            b1 = _reused_residual(
+                one_step_pc, idx, tgt_pc, tgt_normals, src_mask, dist_thresh
+            )
+        else:
+            _, b1, _ = gn(one_step_pc)
         new_err = jnp.sum(b1 * b1)
         accept = new_err < err
         new_state = _ICPState(
@@ -184,14 +214,21 @@ def point_to_plane_gradICP(
     nu: float = 200.0,
     src_mask: Optional[jnp.ndarray] = None,
     tgt_mask: Optional[jnp.ndarray] = None,
+    lookahead_assoc: str = "fresh",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     r"""Differentiable gradLM ICP (gradSLAM paper sec. gradLM; reference
     icputils.py:370-545). Smooth sigmoid-blended damping and step scaling;
     always applies the scaled step (no reject branch), with the errdiff
     clamped to +-70 for gradient flow (reference :530).
 
+    ``lookahead_assoc='reuse'`` skips the lookahead's second KNN (see
+    :func:`point_to_plane_ICP`) — it only modulates the smooth damping/step
+    blending here, so trajectories stay close to 'fresh'.
+
     Returns ``(transform (4, 4), chamfer_idx (N,))``.
     """
+    if lookahead_assoc not in ("fresh", "reuse"):
+        raise ValueError(f"Unknown lookahead_assoc mode: {lookahead_assoc}")
     src0, tgt_pc, tgt_normals, init_T, damp0 = _icp_common_setup(
         src_pc, tgt_pc, tgt_normals, initial_transform, damp
     )
@@ -206,7 +243,12 @@ def point_to_plane_gradICP(
         residual_transform = se3_exp(xi)
         err = jnp.sum(b * b)
         one_step_pc = transform_pointcloud(state.src_pc, residual_transform)
-        _, b1, _ = gn(one_step_pc)
+        if lookahead_assoc == "reuse":
+            b1 = _reused_residual(
+                one_step_pc, idx, tgt_pc, tgt_normals, src_mask, dist_thresh
+            )
+        else:
+            _, b1, _ = gn(one_step_pc)
         new_err = jnp.sum(b1 * b1)
 
         errdiff = jnp.clip(new_err - err, -70.0, 70.0)

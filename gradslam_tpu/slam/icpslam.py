@@ -71,6 +71,7 @@ class ICPSLAM:
         nu: float = 200.0,
         map_capacity: Optional[int] = None,
         icp_capacity: Optional[int] = None,
+        lookahead_assoc: str = "fresh",
         use_jit: bool = True,
         remat: bool = False,
     ):
@@ -86,10 +87,13 @@ class ICPSLAM:
         self.icp_capacity = icp_capacity
         self.remat = remat
         if odom == "icp":
-            self.odomprov = ICPOdometryProvider(numiters, damp, dist_thresh)
+            self.odomprov = ICPOdometryProvider(
+                numiters, damp, dist_thresh, lookahead_assoc
+            )
         elif odom == "gradicp":
             self.odomprov = GradICPOdometryProvider(
-                numiters, damp, dist_thresh, lambda_max, B, B2, nu
+                numiters, damp, dist_thresh, lambda_max, B, B2, nu,
+                lookahead_assoc,
             )
         else:
             self.odomprov = None

@@ -42,6 +42,7 @@ class PointFusion(ICPSLAM):
         nu: float = 200.0,
         map_capacity: Optional[int] = None,
         icp_capacity: Optional[int] = None,
+        lookahead_assoc: str = "fresh",
         active_capacity: Optional[int] = None,
         association: str = "auto",
         merge: str = "auto",
@@ -60,6 +61,7 @@ class PointFusion(ICPSLAM):
             nu=nu,
             map_capacity=map_capacity,
             icp_capacity=icp_capacity,
+            lookahead_assoc=lookahead_assoc,
             use_jit=use_jit,
             remat=remat,
         )

@@ -29,30 +29,44 @@ def run():
 
     results = []
 
-    def timed(tag, fn, frames, B, L, iters=3, baseline=None):
-        out = fn(frames)
-        _ = float(out[0].num_points[0])
+    def timed(tag, slam, frames, B, L, iters=4, baseline=None):
+        # On-device checksum readback: host-side indexing like
+        # pc.num_points[0] dispatches a remote dynamic_slice per access on
+        # tunneled backends (~6 ms/frame of pure RTT).
+        @jax.jit
+        def go(fr):
+            pc, op = slam(fr)
+            return pc, op, pc.num_points[0] + op[0, -1, 0, 3]
+
+        pc, op, c = go(frames)
+        _ = float(c)
         t0 = time.perf_counter()
-        for _i in range(iters):
-            out = fn(frames)
-            _ = float(out[0].num_points[0])
+        outs = [go(frames) for _i in range(iters)]
+        for pc, op, c in outs:
+            _ = float(c)
         dt = (time.perf_counter() - t0) / iters
         entry = {"metric": tag, "value": round(B * L / dt, 2), "unit": "frames/s"}
         if baseline:
             entry["vs_baseline"] = round(B * L / dt / baseline, 1)
         results.append(entry)
 
-    # config 2/3: tracked odometry at 320x240 (dsratio 4)
+    # config 2/3: tracked odometry at 320x240 (dsratio 4). Capacities are
+    # right-sized but non-truncating: ICPSLAM aggregates every valid pixel
+    # (30 * 320 * 240 points); the PointFusion map converges to ~138k points.
     B, L, H, W = 1, 30, 240, 320
     rgb, depths, intrinsics, poses = _synthetic_frames_arrays(B, L, H, W)
     frames = RGBDImages(
         jnp.asarray(rgb), jnp.asarray(depths), jnp.asarray(intrinsics),
         jnp.asarray(poses),
     )
-    icp = ICPSLAM(odom="icp", dsratio=4, numiters=10, map_capacity=500_000)
+    icp = ICPSLAM(odom="icp", dsratio=4, numiters=10, map_capacity=L * H * W)
     timed("ICPSLAM(icp) 320x240 frames/s", icp, frames, B, L, baseline=0.121)
-    gicp = PointFusion(odom="gradicp", dsratio=4, numiters=10, map_capacity=500_000)
+    gicp = PointFusion(odom="gradicp", dsratio=4, numiters=10, map_capacity=172_032)
     timed("PointFusion(gradicp) 320x240 frames/s", gicp, frames, B, L, baseline=0.323)
+    gicp_r = PointFusion(odom="gradicp", dsratio=4, numiters=10,
+                         map_capacity=172_032, lookahead_assoc="reuse")
+    timed("PointFusion(gradicp, reuse lookahead) 320x240 frames/s", gicp_r,
+          frames, B, L, baseline=0.323)
 
     # config 5: batched differentiable SLAM (grad wrt depth + intrinsics)
     B, L, H, W = 8, 4, 120, 160

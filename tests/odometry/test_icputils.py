@@ -107,6 +107,27 @@ class TestICPRecovery:
         )
         np.testing.assert_allclose(np.asarray(T), np.asarray(T_true), atol=1e-4)
 
+    @pytest.mark.parametrize("solver", [point_to_plane_ICP, point_to_plane_gradICP])
+    def test_reuse_lookahead_recovers(self, solver):
+        """lookahead_assoc='reuse' (half the KNN calls) must still recover the
+        transform to the same tolerance."""
+        tgt, n = wavy_surface()
+        xi_true = jnp.asarray([0.02, -0.03, 0.01, 0.02, -0.015, 0.025])
+        T_true = se3_exp(xi_true)
+        src = transform_pointcloud(jnp.asarray(tgt), jnp.linalg.inv(T_true))
+        T, _ = solver(src, jnp.asarray(tgt), jnp.asarray(n), numiters=20,
+                      lookahead_assoc="reuse")
+        np.testing.assert_allclose(np.asarray(T), np.asarray(T_true), atol=1e-4)
+
+    def test_bad_lookahead_mode_raises(self):
+        tgt, n = wavy_surface()
+        with pytest.raises(ValueError):
+            point_to_plane_ICP(jnp.asarray(tgt), jnp.asarray(tgt),
+                               jnp.asarray(n), lookahead_assoc="bogus")
+        with pytest.raises(ValueError):
+            point_to_plane_gradICP(jnp.asarray(tgt), jnp.asarray(tgt),
+                                   jnp.asarray(n), lookahead_assoc="bogus")
+
     def test_gradicp_differentiable(self):
         tgt, n = wavy_surface()
         src = tgt + 0.01
