@@ -1,10 +1,13 @@
 from .pointclouds import Pointclouds
 from .rgbdimages import RGBDImages
 from .structutils import (
+    animation_slider,
+    animation_updatemenus,
     img_to_b64str,
     list_to_padded,
     numpy_to_plotly_image,
     padded_to_list,
+    plotly_image_hovertemplate,
 )
 from .utils import pointclouds_from_rgbdimages
 

@@ -419,23 +419,53 @@ class Pointclouds:
             pcd.colors = o3d.utility.Vector3dVector(colors)
         return pcd
 
-    def plotly(self, index: int, max_num_points: int = 200000, marker_size: int = 2):
-        """Export batch element ``index`` as a plotly Scatter3d figure
-        (parity with reference pointclouds.py:1296). Requires plotly."""
+    def plotly(
+        self,
+        index: int,
+        include_colors: bool = True,
+        max_num_points: Optional[int] = 200000,
+        as_figure: bool = True,
+        point_size: int = 2,
+    ):
+        r"""Export batch element ``index`` as a plotly ``Scatter3d`` (or a
+        ``Figure`` wrapping it) — parity with the reference viewer
+        (pointclouds.py:1296-1395): random subsampling above
+        ``max_num_points``, 255-range color heuristic, hidden-axis layout.
+        Requires plotly."""
+        if not isinstance(index, int):
+            raise TypeError(f"Index should be int, but was {type(index)}.")
         import plotly.graph_objects as go  # optional dep
 
-        pts = self.points_list[index][:max_num_points]
-        marker = dict(size=marker_size)
-        if self.colors is not None:
-            colors = self.colors_list[index][:max_num_points]
-            if colors.size and colors.max() <= 1.001:
+        pts = self.points_list[index]
+        num_points = pts.shape[0]
+        subsample = max_num_points is not None and max_num_points < num_points
+        if subsample:
+            point_inds = np.random.permutation(num_points)[:max_num_points]
+            pts = pts[point_inds]
+
+        marker = {"size": point_size}
+        if self.colors is not None and include_colors:
+            colors = self.colors_list[index]
+            if subsample:
+                colors = colors[point_inds]
+            if colors.size and colors.max() < 1.1:
                 colors = colors * 255.0
-            colors = colors.astype(np.uint8)
-            marker["color"] = [f"rgb({r},{g},{b})" for r, g, b in colors]
+            marker["color"] = np.clip(colors, 0.0, 255.0).astype(np.uint8)
+
         scatter = go.Scatter3d(
             x=pts[:, 0], y=pts[:, 1], z=pts[:, 2], mode="markers", marker=marker
         )
-        return go.Figure(data=[scatter])
+        if not as_figure:
+            return scatter
+        hidden = dict(
+            showticklabels=False, showgrid=False, zeroline=False, visible=False
+        )
+        fig = go.Figure(data=[scatter])
+        fig.update_layout(
+            showlegend=False,
+            scene=dict(xaxis=hidden, yaxis=hidden, zaxis=hidden),
+        )
+        return fig
 
 
 # Re-export the compaction helper for structure/fusion internals.

@@ -242,9 +242,92 @@ class RGBDImages:
     def depth_image_channels_first(self) -> jnp.ndarray:
         return jnp.moveaxis(self.depth_image, -1, 2)
 
-    def plotly(self, index: int, ds_ratio: int = 4):
-        """Plotly scatter of the global vertex map for batch ``index``
-        (parity with rgbdimages.py:764). Requires plotly."""
+    def plotly(
+        self,
+        index: int,
+        include_depth: bool = True,
+        as_figure: bool = True,
+        ms_per_frame: int = 50,
+    ):
+        r"""Frame-by-frame RGB (+ depth) animation with slider and play/stop
+        controls — full parity with the reference viewer (rgbdimages.py:764-
+        884): same frame-dict structure (``{'name', 'data', 'traces'}``),
+        same depth display scaling ``10^floor(log10(255 / max_depth))``, same
+        subplot layout. Requires plotly.
+
+        ``as_figure=False`` returns the frames list for use with
+        ``go.Figure(frames=frames)``.
+        """
+        if not isinstance(index, int):
+            raise TypeError(f"Index should be int, but was {type(index)}.")
+        import math
+
+        import numpy as np
+        from plotly.subplots import make_subplots
+
+        from .structutils import (
+            animation_slider,
+            animation_updatemenus,
+            numpy_to_plotly_image,
+        )
+
+        rgb = np.asarray(jax.device_get(self.rgb_image[index]), dtype=np.float32)
+        if rgb.max() < 1.1:
+            rgb = rgb * 255
+        rgb = np.clip(rgb, 0.0, 255.0).astype(np.uint8)
+        image_rgb = [numpy_to_plotly_image(im, i) for i, im in enumerate(rgb)]
+
+        if not include_depth:
+            frames = [
+                {"data": [frame], "name": i} for i, frame in enumerate(image_rgb)
+            ]
+        else:
+            depth = np.asarray(
+                jax.device_get(self.depth_image[index, ..., 0]), dtype=np.float32
+            )
+            dmax = float(depth.max())
+            scale = 10 ** math.floor(math.log10(255.0 / dmax)) if dmax > 0 else 1
+            depth_u8 = (depth * scale).astype(np.uint8)
+            image_depth = [
+                numpy_to_plotly_image(d, i, True, scale)
+                for i, d in enumerate(depth_u8)
+            ]
+            frames = [
+                {"name": i, "data": list(frame), "traces": [0, 1]}
+                for i, frame in enumerate(zip(image_rgb, image_depth))
+            ]
+
+        if not as_figure:
+            return frames
+
+        L = self.shape[1]
+        if not include_depth:
+            fig = make_subplots(rows=1, cols=1, subplot_titles=("RGB",))
+            fig.add_traces(frames[0]["data"][0])
+        else:
+            fig = make_subplots(
+                rows=2,
+                cols=1,
+                subplot_titles=("RGB", "Depth"),
+                shared_xaxes=True,
+                shared_yaxes=False,
+                vertical_spacing=0.1,
+            )
+            fig.add_trace(frames[0]["data"][0], row=1, col=1)
+            fig.add_trace(frames[0]["data"][1], row=2, col=1)
+            fig.update_layout(scene=dict(aspectmode="data"))
+            fig.update_layout(autosize=False, height=1080)
+
+        fig.update(frames=frames)
+        fig.update_layout(
+            updatemenus=animation_updatemenus(ms_per_frame),
+            sliders=animation_slider(L),
+        )
+        return fig
+
+    def plotly_vertex_scatter(self, index: int, ds_ratio: int = 4):
+        """3-D plotly scatter of the global vertex map for batch ``index``
+        (extra viewer beyond the reference API). Requires plotly."""
         import numpy as np
         import plotly.graph_objects as go  # optional dep
 

@@ -14,8 +14,72 @@ __all__ = [
     "list_to_padded",
     "padded_to_list",
     "numpy_to_plotly_image",
+    "plotly_image_hovertemplate",
     "img_to_b64str",
+    "animation_slider",
+    "animation_updatemenus",
 ]
+
+
+def _frame_args(duration):
+    # reference rgbdimages.py:805-812
+    return {
+        "frame": {"duration": duration, "redraw": True},
+        "mode": "immediate",
+        "fromcurrent": True,
+        "transition": {"duration": duration, "easing": "linear"},
+    }
+
+
+def animation_slider(num_frames: int) -> list:
+    r"""Plotly slider config for frame-by-frame animation — plain dicts,
+    exact reference layout (rgbdimages.py:840-857)."""
+    steps = [
+        {"args": [[i], _frame_args(0)], "label": i, "method": "animate"}
+        for i in range(num_frames)
+    ]
+    return [
+        {
+            "active": 0,
+            "yanchor": "top",
+            "xanchor": "left",
+            "currentvalue": {"prefix": "Frame: "},
+            "pad": {"b": 10, "t": 60},
+            "len": 0.9,
+            "x": 0.1,
+            "y": 0,
+            "steps": steps,
+        }
+    ]
+
+
+def animation_updatemenus(ms_per_frame: int) -> list:
+    r"""Plotly play/stop buttons — plain dicts, exact reference layout
+    (rgbdimages.py:858-881)."""
+    return [
+        {
+            "buttons": [
+                {
+                    "args": [None, _frame_args(ms_per_frame)],
+                    "label": "&#9654;",
+                    "method": "animate",
+                },
+                {
+                    "args": [[None], _frame_args(0)],
+                    "label": "&#9724;",
+                    "method": "animate",
+                },
+            ],
+            "direction": "left",
+            "pad": {"r": 10, "t": 70},
+            "showactive": False,
+            "type": "buttons",
+            "x": 0.1,
+            "xanchor": "right",
+            "y": 0,
+            "yanchor": "top",
+        }
+    ]
 
 
 def img_to_b64str(img: np.ndarray, quality: int = 95) -> str:
@@ -35,22 +99,35 @@ def img_to_b64str(img: np.ndarray, quality: int = 95) -> str:
     return "data:image/jpeg;base64," + base64.b64encode(buf.tobytes()).decode()
 
 
+def plotly_image_hovertemplate(is_depth: bool = False, scale=None) -> str:
+    r"""Hover template for image traces — exact reference strings
+    (structutils.py:141-151). Pure helper (no plotly import) so the format
+    is testable without the optional dep."""
+    hovertemplate = "x: %%{x}<br>y: %%{y}<br>%s: %s"
+    if not is_depth:
+        hovertemplate = hovertemplate % ("color", "[%{z[0]}, %{z[1]}, %{z[2]}]")
+    else:
+        hovertemplate = hovertemplate % ("depth", "%{z[0]}")
+    if scale is not None:
+        scale = int(scale) if int(scale) == scale else scale
+        hovertemplate += f"<br>scale: x{scale}<br>"
+    hovertemplate += "<extra></extra>"
+    return hovertemplate
+
+
 def numpy_to_plotly_image(img: np.ndarray, name=None, is_depth: bool = False,
-                          scale=None):
-    r"""Wrap an image array as a ``plotly.graph_objects.Image`` trace (parity
-    with the reference structutils.py:127). Requires plotly."""
+                          scale=None, quality: int = 95):
+    r"""Wrap an image array as a ``plotly.graph_objects.Image`` trace with the
+    reference's hover formatting (parity with structutils.py:127-153).
+    Requires plotly."""
     import plotly.graph_objects as go
 
-    img = np.asarray(img)
-    if is_depth:
-        valid = img > 0
-        rng = img.max() - img[valid].min() if valid.any() else 1.0
-        rng = rng if rng > 0 else 1.0
-        norm = np.zeros_like(img, dtype=np.float32)
-        if valid.any():
-            norm[valid] = (img[valid] - img[valid].min()) / rng
-        img = (np.stack([norm] * 3, axis=-1) * 255).astype(np.uint8)
-    return go.Image(source=img_to_b64str(img), name=name)
+    img_str = img_to_b64str(np.asarray(img), quality)
+    return go.Image(
+        source=img_str,
+        hovertemplate=plotly_image_hovertemplate(is_depth, scale),
+        name=name,
+    )
 
 
 def list_to_padded(
