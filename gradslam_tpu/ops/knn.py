@@ -74,7 +74,14 @@ def _nn_single(
             jnp.where(take, tile_arg, best_i),
         ), None
 
-    init = (jnp.full((N,), _INF, dtype=src.dtype), jnp.zeros((N,), dtype=jnp.int32))
+    # The zero-value terms tie the init carry's type to the operands so the
+    # scan is legal under shard_map when src/tgt vary over a mesh axis (the
+    # carry must carry the same varying-axes tag as the body output).
+    vma0f = 0.0 * (src[0, 0] + tgt[0, 0])
+    init = (
+        jnp.full((N,), _INF, dtype=src.dtype) + vma0f,
+        jnp.zeros((N,), dtype=jnp.int32) + vma0f.astype(jnp.int32),
+    )
     tile_ids = jnp.arange(Mp // tile_size, dtype=jnp.int32)
     (best_d, best_i), _ = jax.lax.scan(body, init, (tgt_tiles, inv_tiles, tile_ids))
     # Clamp tiny negative values from the expanded-form cancellation.

@@ -1,3 +1,8 @@
+from .map_sharded import (
+    MapShardedPointFusion,
+    ShardedMap,
+    nn_points_map_sharded,
+)
 from .sharding import (
     DataParallelSLAM,
     batch_sharding,
@@ -8,6 +13,9 @@ from .sharding import (
 
 __all__ = [
     "DataParallelSLAM",
+    "MapShardedPointFusion",
+    "ShardedMap",
+    "nn_points_map_sharded",
     "make_mesh",
     "batch_sharding",
     "shard_frames",

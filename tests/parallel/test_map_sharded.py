@@ -1,0 +1,120 @@
+"""Map-axis-sharded fusion tests on the 8-virtual-device CPU mesh: the
+explicit shard_map implementation must produce the same map (as a set) and
+the same confidence mass as the single-device PointFusion path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gradslam_tpu import PointFusion, Pointclouds, RGBDImages
+from gradslam_tpu.ops.knn import nn_points
+from gradslam_tpu.parallel import (
+    MapShardedPointFusion,
+    make_mesh,
+    nn_points_map_sharded,
+)
+
+from test_sharding import synthetic_frames  # same-directory test module
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    return make_mesh(axis_name="map")
+
+
+def _sorted_rows(x):
+    x = np.asarray(x)
+    order = np.lexsort((x[:, 2], x[:, 1], x[:, 0]))
+    return x[order]
+
+
+class TestMapShardedFusion:
+    def test_matches_single_device(self, mesh):
+        B, L, H, W = 1, 3, 16, 24
+        frames = synthetic_frames(B, L=L, H=H, W=W)
+        cap = 8 * 256  # divisible by mesh size; >= L*H*W/... enough headroom
+
+        single = PointFusion(odom="gt", map_capacity=cap)
+        pc_s, poses_s = single(frames)
+
+        sharded = MapShardedPointFusion(map_capacity=cap, mesh=mesh)
+        smap, poses_m = sharded(frames)
+        pc_m = smap.to_pointclouds()
+
+        np.testing.assert_array_equal(np.asarray(poses_m), np.asarray(poses_s))
+        # same number of live points (sum over shards == single-device count)
+        assert int(np.asarray(smap.num_points).sum()) == int(
+            np.asarray(pc_s.num_points).sum()
+        )
+        # same point set (ordering differs: appends are dealt round-robin)
+        np.testing.assert_allclose(
+            _sorted_rows(pc_m.points_list[0]),
+            _sorted_rows(pc_s.points_list[0]),
+            atol=1e-5,
+        )
+        # same confidence mass
+        np.testing.assert_allclose(
+            float(np.asarray(pc_m.features_list[0]).sum()),
+            float(jnp.sum(pc_s.features * pc_s.nonpad_mask[..., None])),
+            rtol=1e-5,
+        )
+
+    def test_batched(self, mesh):
+        B, L, H, W = 2, 2, 12, 16
+        frames = synthetic_frames(B, L=L, H=H, W=W, seed=3)
+        cap = 8 * 128
+        single = PointFusion(odom="gt", map_capacity=cap)
+        pc_s, _ = single(frames)
+        sharded = MapShardedPointFusion(map_capacity=cap, mesh=mesh)
+        smap, _ = sharded(frames)
+        pc_m = smap.to_pointclouds()
+        for b in range(B):
+            np.testing.assert_allclose(
+                _sorted_rows(pc_m.points_list[b]),
+                _sorted_rows(pc_s.points_list[b]),
+                atol=1e-5,
+            )
+
+    def test_capacity_divisibility_raises(self, mesh):
+        with pytest.raises(ValueError):
+            MapShardedPointFusion(map_capacity=1001, mesh=mesh)
+
+    def test_requires_poses(self, mesh):
+        frames = synthetic_frames(1, L=2, H=8, W=8)
+        frames = RGBDImages(
+            frames.rgb_image, frames.depth_image, frames.intrinsics, None
+        )
+        sharded = MapShardedPointFusion(map_capacity=8 * 64, mesh=mesh)
+        with pytest.raises(ValueError):
+            sharded(frames)
+
+
+class TestShardedKNN:
+    def test_matches_single_device(self, mesh):
+        rng = np.random.RandomState(0)
+        N, M = 100, 8 * 50
+        src = jnp.asarray(rng.randn(N, 3).astype(np.float32))
+        tgt = jnp.asarray(rng.randn(M, 3).astype(np.float32))
+        mask = jnp.asarray(rng.rand(M) < 0.8)
+
+        d_ref, i_ref = nn_points(src, tgt, mask)
+
+        from jax.sharding import PartitionSpec as P
+
+        f = jax.jit(
+            jax.shard_map(
+                lambda s, t, m: nn_points_map_sharded(s, t, m, axis_name="map"),
+                mesh=mesh,
+                in_specs=(P(), P("map"), P("map")),
+                out_specs=(P(), P()),
+                # the all_gather + fold makes the result bit-identical on all
+                # shards, but the static checker can't prove it
+                check_vma=False,
+            )
+        )
+        d, i = f(src, tgt, mask)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+        np.testing.assert_allclose(np.asarray(d), np.asarray(d_ref), atol=1e-5)
