@@ -1,4 +1,4 @@
-r"""Map-axis-sharded PointFusion — explicit multi-chip fusion via
+r"""Map-axis-sharded SLAM — explicit multi-chip fusion + tracking via
 ``jax.shard_map`` (new capability; the reference is single-device,
 SURVEY §2.3).
 
@@ -12,15 +12,23 @@ points/normals/colors/ccounts plus its own live counter. One fusion step
    per-pixel winners among its own rows with the flat 4-key sort (the exact
    lexicographic criterion of fusionutils.py:509-544, tie-broken by GLOBAL
    row index).
-2. **Cross-shard winner reduction** — the only communication: each shard
-   ``all_gather``s its three per-pixel winner tables (ccount, ray distance,
-   global row index; ``3 * H*W * 4`` bytes) over the mesh axis and folds
-   them lexicographically. These collectives ride ICI.
+2. **Cross-shard winner reduction** — each shard ``all_gather``s its three
+   per-pixel winner tables (ccount, ray distance, global row index;
+   ``3 * H*W * 4`` bytes) over the mesh axis and folds them
+   lexicographically. These collectives ride ICI.
 3. **Row-side merge + strided append** — the shard owning a pixel's winning
    row merges it in place (confidence-weighted average, gathering frame data
    at the row's own pixel); un-corresponded valid pixels are dealt
    round-robin across shards (pixel with append rank ``r`` goes to shard
    ``r % K``), so the map grows balanced with zero communication.
+
+Tracked odometry (``odom='icp'|'gradicp'``) adds one more collective per
+frame: each shard compacts its active, strided-downsampled map rows
+(reference icputils.py:548-621 semantics) into a fixed window, the windows
+are ``all_gather``-ed into the global ICP target, and every shard runs the
+identical (replicated-compute) gradLM solve — the solver operates on the
+small downsampled clouds, so duplicating it across shards is far cheaper
+than sharding it.
 
 Winner semantics match the single-device path exactly up to the global row
 numbering: appends land at different global rows than a single-device run,
@@ -30,17 +38,19 @@ tie-break differently. Point sets and confidence mass are identical.
 
 from __future__ import annotations
 
+import math
 from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
+from ..geometry.geometryutils import compose_transformations
+from ..odometry.icputils import point_to_plane_ICP, point_to_plane_gradICP
 from ..ops import nn_points_auto
-from ..slam.fusionutils import get_alpha
-from ..slam.fusionutils import _project_map_points
-from ..structures.pointclouds import Pointclouds
+from ..slam.fusionutils import _project_map_points, get_alpha
+from ..structures.pointclouds import Pointclouds, compact_masked
 from ..structures.rgbdimages import RGBDImages
 
 __all__ = ["ShardedMap", "MapShardedPointFusion", "nn_points_map_sharded"]
@@ -53,7 +63,9 @@ def nn_points_map_sharded(src, tgt_local, tgt_mask_local=None, *, axis_name):
     target rows, then one ``all_gather`` of the (distance, global-index)
     pairs folds to the global winner. Exact same result as single-device
     ``nn_points`` on the concatenated target (ties resolve to the smallest
-    global index).
+    global index). The result is bit-identical on every shard but JAX's
+    varying-axes checker can't prove it — callers returning it replicated
+    need ``check_vma=False`` on their ``shard_map``.
     """
     d, i = nn_points_auto(src, tgt_local, tgt_mask_local)
     C = tgt_local.shape[-2]
@@ -106,15 +118,45 @@ class ShardedMap(NamedTuple):
                                      features=feat_l)
 
 
+def _transform_pts(pts, pose):
+    """Rigid transform of (B, N, 3) by (B, 4, 4) — explicit FMAs."""
+    R = pose[:, :3, :3]
+    t = pose[:, :3, 3]
+    x, y, z = pts[..., 0], pts[..., 1], pts[..., 2]
+
+    def row(i):
+        return (R[:, i, 0][:, None] * x + R[:, i, 1][:, None] * y
+                + R[:, i, 2][:, None] * z + t[:, i][:, None])
+
+    return jnp.stack([row(0), row(1), row(2)], axis=-1)
+
+
+def _rotate_pts(pts, pose):
+    R = pose[:, :3, :3]
+    x, y, z = pts[..., 0], pts[..., 1], pts[..., 2]
+
+    def row(i):
+        return (R[:, i, 0][:, None] * x + R[:, i, 1][:, None] * y
+                + R[:, i, 2][:, None] * z)
+
+    return jnp.stack([row(0), row(1), row(2)], axis=-1)
+
+
 class MapShardedPointFusion:
-    r"""PointFusion (GT odometry) with the map's point axis sharded over a
-    mesh axis — the whole frame scan runs inside one ``shard_map``-ed jit.
+    r"""PointFusion with the map's point axis sharded over a mesh axis — the
+    whole frame scan runs inside one ``shard_map``-ed jit.
 
     Args:
         map_capacity: GLOBAL capacity; must be divisible by the mesh size.
         mesh: 1-D mesh to shard over (default: all devices, axis 'map').
-        dist_th / angle_th / sigma: PointFusion parameters (reference
-            pointfusion.py:53-105 defaults).
+        odom: 'gt' (poses given), 'icp' or 'gradicp' (frame-to-map tracking
+            with the solver replicated across shards and the ICP target
+            all-gathered from per-shard active windows).
+        icp_capacity: per-shard active-window size for the ICP target
+            (default: the single-device window ``2*ceil(H/ds)*ceil(W/ds)`` —
+            sized so even a maximally imbalanced shard fits its actives).
+        dist_th / angle_th / sigma and the solver parameters match
+            :class:`gradslam_tpu.PointFusion` defaults.
     """
 
     def __init__(
@@ -123,13 +165,24 @@ class MapShardedPointFusion:
         map_capacity: int,
         mesh: Optional[Mesh] = None,
         axis_name: str = "map",
+        odom: str = "gt",
+        dsratio: int = 4,
+        numiters: int = 20,
+        damp: float = 1e-8,
+        dist_thresh: Optional[float] = None,
+        lambda_max: float = 2.0,
+        B: float = 1.0,
+        B2: float = 1.0,
+        nu: float = 200.0,
+        lookahead_assoc: str = "fresh",
+        icp_capacity: Optional[int] = None,
         dist_th: float = 0.05,
         angle_th: float = 20.0,
         sigma: float = 0.6,
         use_jit: bool = True,
     ):
-        import math
-
+        if odom not in ("gt", "icp", "gradicp"):
+            raise ValueError(f"Odometry method ({odom}) not supported.")
         if mesh is None:
             mesh = Mesh(np.asarray(jax.devices()), (axis_name,))
         self.mesh = mesh
@@ -141,6 +194,17 @@ class MapShardedPointFusion:
                 f"mesh size ({self.K})."
             )
         self.map_capacity = map_capacity
+        self.odom = odom
+        self.dsratio = dsratio
+        self.numiters = numiters
+        self.damp = damp
+        self.dist_thresh = dist_thresh
+        self.lambda_max = lambda_max
+        self.B_lm = B
+        self.B2 = B2
+        self.nu = nu
+        self.lookahead_assoc = lookahead_assoc
+        self.icp_capacity = icp_capacity
         self.dist_th = dist_th
         self.dot_th = math.cos(angle_th * math.pi / 180.0)
         self.sigma = sigma
@@ -152,11 +216,34 @@ class MapShardedPointFusion:
         return self.forward(frames)
 
     def forward(self, frames: RGBDImages) -> Tuple[ShardedMap, jnp.ndarray]:
-        r"""Run fusion over the whole sequence; returns the sharded map and
-        the (pass-through, GT) trajectory ``(B, L, 4, 4)``."""
-        if frames.poses is None:
-            raise ValueError("MapShardedPointFusion requires frames with poses.")
+        r"""Run SLAM over the whole sequence; returns the sharded map and the
+        trajectory ``(B, L, 4, 4)`` (pass-through for 'gt', tracked
+        otherwise)."""
+        if self.odom == "gt" and frames.poses is None:
+            raise ValueError("MapShardedPointFusion(odom='gt') requires poses.")
         return self._forward(frames)
+
+    # ------------------------------------------------------------------ #
+
+    def _solve_one(self, src, src_mask, tgt, tgt_normals, tgt_mask):
+        kw = dict(
+            initial_transform=jnp.eye(4, dtype=src.dtype),
+            numiters=self.numiters,
+            damp=self.damp,
+            dist_thresh=self.dist_thresh,
+            src_mask=src_mask,
+            tgt_mask=tgt_mask,
+            lookahead_assoc=self.lookahead_assoc,
+        )
+        if self.odom == "icp":
+            T, _ = point_to_plane_ICP(src, tgt, tgt_normals, **kw)
+        else:
+            T, _ = point_to_plane_gradICP(
+                src, tgt, tgt_normals,
+                lambda_max=self.lambda_max, B=self.B_lm, B2=self.B2, nu=self.nu,
+                **kw,
+            )
+        return T
 
     def _forward_impl(self, frames: RGBDImages):
         B, L, H, W = frames.shape
@@ -164,22 +251,43 @@ class MapShardedPointFusion:
         K = self.K
         C = self.map_capacity // K
         axis = self.axis_name
+        ds = self.dsratio
+        tracked = self.odom != "gt"
 
-        # Replicated per-frame data, precomputed once (L leading).
-        fv = jnp.moveaxis(frames.global_vertex_map.reshape(B, L, HW, 3), 1, 0)
-        fn = jnp.moveaxis(frames.global_normal_map.reshape(B, L, HW, 3), 1, 0)
+        # Replicated per-frame data (L leading). Vertex/normal maps are kept
+        # in the CAMERA frame; the scan body applies the (possibly tracked)
+        # pose with streaming math.
+        lv = jnp.moveaxis(frames.vertex_map.reshape(B, L, HW, 3), 1, 0)
+        ln = jnp.moveaxis(frames.normal_map.reshape(B, L, HW, 3), 1, 0)
         fc = jnp.moveaxis(frames.rgb_image.reshape(B, L, HW, 3), 1, 0)
         fa = jnp.moveaxis(
             get_alpha(frames.vertex_map, sigma=self.sigma, dim=4, keepdim=True)
             .reshape(B, L, HW, 1), 1, 0)
         fvalid = jnp.moveaxis(frames.valid_depth_mask.reshape(B, L, HW), 1, 0)
-        poses = jnp.moveaxis(frames.poses, 1, 0)  # (L, B, 4, 4)
         intr = frames.intrinsics[:, 0]  # (B, 4, 4)
+
+        if frames.poses is not None:
+            poses_in = jnp.moveaxis(frames.poses, 1, 0)  # (L, B, 4, 4)
+        else:
+            poses_in = jnp.broadcast_to(
+                jnp.eye(4, dtype=frames.depth_image.dtype), (L, B, 4, 4))
+
+        if tracked:
+            # Strided local frame clouds for ICP (reference icputils.py:623).
+            sl = frames.vertex_map[:, :, ::ds, ::ds].reshape(B, L, -1, 3)
+            sv = frames.valid_depth_mask[:, :, ::ds, ::ds].reshape(B, L, -1)
+            sl = jnp.moveaxis(sl, 1, 0)  # (L, B, Nf, 3)
+            sv = jnp.moveaxis(sv, 1, 0)
+            win = (self.icp_capacity if self.icp_capacity is not None
+                   else 2 * math.ceil(H / ds) * math.ceil(W / ds))
+        else:
+            sl = sv = None
+            win = 0
 
         dist_th, dot_th = self.dist_th, self.dot_th
         GCAP = jnp.int32(K * C)
 
-        def sharded_scan(fv, fn, fc, fa, fvalid, poses, intr):
+        def sharded_scan(lv, ln, fc, fa, fvalid, poses_in, intr, sl, sv):
             shard = jax.lax.axis_index(axis)
             base = shard * C
             bidx_c = jnp.broadcast_to(jnp.arange(B)[:, None], (B, C))
@@ -188,14 +296,12 @@ class MapShardedPointFusion:
             pixel_ids = jnp.broadcast_to(
                 jnp.arange(HW, dtype=jnp.int32)[None], (B, HW))
 
-            def body(carry, frame):
-                pts, nrm, col, feat, nloc = carry
-                v, n, c, a, vd, pose = frame
-
+            def fuse(state, pose, v, n, c, a, vd):
+                """One fusion step at the given pose (global-frame v/n in)."""
+                pts, nrm, col, feat, nloc = state
                 nonpad = lidx < nloc[:, None]
                 valid, pix = _project_map_points(pts, nonpad, pose, intr, H, W)
 
-                # --- gate against the frame (one packed 8-wide gather) ---
                 fgeom = jnp.concatenate(
                     [v, n, a, jnp.zeros((B, HW, 1), v.dtype)], axis=-1)
                 safe_pix = jnp.minimum(pix, HW - 1)
@@ -206,7 +312,6 @@ class MapShardedPointFusion:
                 eligible = valid & is_close & is_similar
                 ray = jnp.sum((pts - fp) ** 2, axis=-1)
 
-                # --- local per-pixel winner via the flat 4-key sort ---
                 cc = feat[..., 0]
                 k_pix = jnp.where(eligible, pix, HW)
                 k_negcc = jnp.where(eligible, -cc, jnp.inf)
@@ -222,7 +327,8 @@ class MapShardedPointFusion:
                 s_ray = s_ray.reshape(B, C)
                 s_idx = s_idx.reshape(B, C)
                 first = jnp.concatenate(
-                    [jnp.ones((B, 1), bool), s_pix[:, 1:] != s_pix[:, :-1]], axis=1)
+                    [jnp.ones((B, 1), bool), s_pix[:, 1:] != s_pix[:, :-1]],
+                    axis=1)
                 s_winner = first & (s_pix < HW)
                 table_pix = jnp.where(
                     s_winner, s_pix, HW + jnp.arange(C, dtype=jnp.int32)[None])
@@ -236,7 +342,6 @@ class MapShardedPointFusion:
                           .at[bidx_c, table_pix]
                           .set(s_idx + base, mode="drop", unique_indices=True))
 
-                # --- cross-shard lexicographic winner reduction (ICI) ---
                 a_negcc = jax.lax.all_gather(t_negcc, axis, axis=0)  # (K,B,HW)
                 a_ray = jax.lax.all_gather(t_ray, axis, axis=0)
                 a_gidx = jax.lax.all_gather(t_gidx, axis, axis=0)
@@ -251,7 +356,6 @@ class MapShardedPointFusion:
                     b_gidx = jnp.where(lt, a_gidx[k], b_gidx)
                 corresponded = b_gidx < GCAP
 
-                # --- destinations: local merges + round-robin appends ---
                 local_win = corresponded & (b_gidx >= base) & (b_gidx < base + C)
                 new_mask = vd & ~corresponded
                 new_rank = jnp.cumsum(new_mask.astype(jnp.int32), axis=-1) - 1
@@ -267,7 +371,6 @@ class MapShardedPointFusion:
                 touched = row_src < HW
                 safe_src = jnp.where(touched, row_src, 0)
 
-                # --- row-side merge: pull frame data to the owning rows ---
                 g8 = jnp.take_along_axis(fgeom, safe_src[..., None], axis=1)
                 gc = jnp.take_along_axis(c, safe_src[..., None], axis=1)
                 alpha = g8[..., 6:7]
@@ -282,29 +385,92 @@ class MapShardedPointFusion:
                 col2 = jnp.where(t, (cc_old * col + alpha * gc) * inv, col)
                 feat2 = jnp.where(t, new_cc, feat)
                 appended = jnp.sum((mine & (tail < C)).astype(jnp.int32), axis=-1)
-                return (pts2, nrm2, col2, feat2, nloc + appended), None
+                return (pts2, nrm2, col2, feat2, nloc + appended)
 
+            def globalize(pose, v_loc, n_loc, vd):
+                gv = _transform_pts(v_loc, pose)
+                gn = _rotate_pts(n_loc, pose)
+                m = vd[..., None]
+                return jnp.where(m, gv, 0.0), jnp.where(m, gn, 0.0)
+
+            def localize(state, pose_prev, s_loc, s_valid):
+                """Frame-to-map odometry (reference icpslam.py:180-247)."""
+                pts, nrm, _col, _feat, nloc = state
+                nonpad = lidx < nloc[:, None]
+                valid, pix = _project_map_points(
+                    pts, nonpad, pose_prev, intr, H, W)
+                ph, pw = pix // W, pix % W
+                keep = valid & (ph % ds == 0) & (pw % ds == 0)
+                packed = jnp.concatenate(
+                    [pts, nrm, jnp.zeros((B, C, 2), pts.dtype)], axis=-1)
+                window, counts = compact_masked(packed, keep, win)  # (B,win,8)
+                aw = jax.lax.all_gather(window, axis, axis=0)  # (K,B,win,8)
+                ac = jax.lax.all_gather(counts, axis, axis=0)  # (K,B)
+                tgt = jnp.moveaxis(aw, 0, 1).reshape(B, K * win, 8)
+                tmask = (jnp.arange(win, dtype=jnp.int32)[None, None]
+                         < ac[..., None])  # (K,B,win)
+                tmask = jnp.moveaxis(tmask, 0, 1).reshape(B, K * win)
+                src = _transform_pts(s_loc, pose_prev)
+                T = jax.vmap(self._solve_one)(
+                    src, s_valid, tgt[..., :3], tgt[..., 3:6], tmask)
+                return compose_transformations(T, pose_prev)
+
+            # ---- frame 0: fuse at the bootstrap pose ----
             zeros3 = jnp.zeros((B, C, 3), jnp.float32)
-            init = (zeros3, zeros3, zeros3,
-                    jnp.zeros((B, C, 1), jnp.float32),
-                    jnp.zeros((B,), jnp.int32))
-            # the carry varies across the mesh axis (each shard owns its own
-            # slice); mark the replicated zero init accordingly
-            init = jax.tree.map(
-                lambda x: jax.lax.pcast(x, axis, to="varying"), init
-            )
-            (pts, nrm, col, feat, nloc), _ = jax.lax.scan(
-                body, init, (fv, fn, fc, fa, fvalid, poses))
-            return pts, nrm, col, feat, nloc[None]  # (1, B) per shard
+            state0 = (zeros3, zeros3, zeros3,
+                      jnp.zeros((B, C, 1), jnp.float32),
+                      jnp.zeros((B,), jnp.int32))
+            state0 = jax.tree.map(
+                lambda x: jax.lax.pcast(x, axis, to="varying"), state0)
 
-        mesh, axis_name = self.mesh, self.axis_name
+            pose0 = poses_in[0]
+            gv0, gn0 = globalize(pose0, lv[0], ln[0], fvalid[0])
+            state = fuse(state0, pose0, gv0, gn0, fc[0], fa[0], fvalid[0])
+
+            if not tracked:
+                def body(carry, frame):
+                    st = carry
+                    v, n, c, a, vd, pose = frame
+                    gv, gn = globalize(pose, v, n, vd)
+                    return fuse(st, pose, gv, gn, c, a, vd), pose
+
+                state, _ = jax.lax.scan(
+                    body, state,
+                    (lv[1:], ln[1:], fc[1:], fa[1:], fvalid[1:], poses_in[1:]))
+                poses_out = poses_in
+            else:
+                def body(carry, frame):
+                    st, prev_pose = carry
+                    v, n, c, a, vd, s_loc, s_valid = frame
+                    pose = localize(st, prev_pose, s_loc, s_valid)
+                    gv, gn = globalize(pose, v, n, vd)
+                    st = fuse(st, pose, gv, gn, c, a, vd)
+                    return (st, pose), pose
+
+                (state, _), rest = jax.lax.scan(
+                    body, (state, pose0),
+                    (lv[1:], ln[1:], fc[1:], fa[1:], fvalid[1:],
+                     sl[1:], sv[1:]))
+                poses_out = jnp.concatenate([pose0[None], rest], axis=0)
+
+            pts, nrm, col, feat, nloc = state
+            return pts, nrm, col, feat, nloc[None], poses_out
+
         rep = P()
-        out_map = P(None, axis_name)
+        out_map = P(None, axis)
         fused = jax.shard_map(
             sharded_scan,
-            mesh=mesh,
-            in_specs=(rep, rep, rep, rep, rep, rep, rep),
-            out_specs=(out_map, out_map, out_map, out_map, P(axis_name, None)),
-        )(fv, fn, fc, fa, fvalid, poses, intr)
-        pts, nrm, col, feat, nums = fused
-        return ShardedMap(pts, nrm, col, feat, nums), frames.poses
+            mesh=self.mesh,
+            in_specs=(rep,) * 9,
+            out_specs=(out_map, out_map, out_map, out_map,
+                       P(axis, None), rep),
+            # the tracked pose / solver results are bit-identical on every
+            # shard (replicated compute on all-gathered inputs), but the
+            # static varying-axes checker can't prove it
+            check_vma=not tracked,
+        )(lv, ln, fc, fa, fvalid, poses_in, intr,
+          sl if sl is not None else jnp.zeros((L, B, 1, 3), jnp.float32),
+          sv if sv is not None else jnp.zeros((L, B, 1), bool))
+        pts, nrm, col, feat, nums, poses_out = fused
+        return (ShardedMap(pts, nrm, col, feat, nums),
+                jnp.moveaxis(poses_out, 0, 1))

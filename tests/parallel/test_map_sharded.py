@@ -78,6 +78,28 @@ class TestMapShardedFusion:
                 atol=1e-5,
             )
 
+    def test_tracked_matches_single_device(self, mesh):
+        """GradICP tracking against the sharded map: trajectory must match
+        the single-device tracked pipeline (same downsampled clouds, same
+        solver; only the ICP-target row ORDER differs)."""
+        B, L, H, W = 1, 3, 16, 24
+        frames = synthetic_frames(B, L=L, H=H, W=W)
+        cap = 8 * 256
+
+        single = PointFusion(odom="gradicp", dsratio=2, numiters=6,
+                             map_capacity=cap)
+        pc_s, poses_s = single(frames)
+
+        sharded = MapShardedPointFusion(
+            map_capacity=cap, mesh=mesh, odom="gradicp", dsratio=2, numiters=6
+        )
+        smap, poses_m = sharded(frames)
+
+        np.testing.assert_allclose(
+            np.asarray(poses_m), np.asarray(poses_s), atol=1e-4
+        )
+        assert int(np.asarray(smap.num_points).sum()) > 0
+
     def test_capacity_divisibility_raises(self, mesh):
         with pytest.raises(ValueError):
             MapShardedPointFusion(map_capacity=1001, mesh=mesh)
