@@ -159,7 +159,9 @@ class ICPSLAM:
             return self.icp_capacity
         return 2 * math.ceil(H / self.dsratio) * math.ceil(W / self.dsratio)
 
-    def _empty_map(self, batch_size: int, capacity: int) -> Pointclouds:
+    def empty_map(self, batch_size: int, capacity: int) -> Pointclouds:
+        r"""An empty map buffer compatible with this pipeline (the initial
+        value for the online ``step`` API)."""
         return Pointclouds.empty(
             batch_size,
             capacity,
@@ -167,6 +169,9 @@ class ICPSLAM:
             has_colors=True,
             feature_dim=1 if self.has_features else None,
         )
+
+    # kept as an alias for internal callers
+    _empty_map = empty_map
 
     def _map(self, pointclouds: Pointclouds, live_frame: RGBDImages) -> Pointclouds:
         r"""Map update — naive aggregation (reference icpslam.py:249-263).

@@ -269,26 +269,43 @@ class Pointclouds:
         scales = jnp.asarray(scales)
         return dataclasses.replace(self, points=self.points * scales)
 
-    def rotate(self, rmat) -> "Pointclouds":
+    def rotate(self, rmat, *, pre_multiplication: bool = True) -> "Pointclouds":
         """Rotate by ``(3, 3)`` or ``(B, 3, 3)`` rotation matrices
-        (reference pointclouds.py:466)."""
+        (reference pointclouds.py:466). ``pre_multiplication=False``
+        post-multiplies (``points @ rmat``), matching the reference's
+        ``@`` operator semantics."""
         rmat = jnp.asarray(rmat)
         if rmat.shape[-2:] != (3, 3):
             raise ValueError(f"rmat must have shape (*, 3, 3). Got {rmat.shape}.")
-        if rmat.ndim == 2:
-            rot = lambda x: einsum_hp("ij,bnj->bni", rmat, x)
+        if pre_multiplication:
+            if rmat.ndim == 2:
+                rot = lambda x: einsum_hp("ij,bnj->bni", rmat, x)
+            else:
+                rot = lambda x: einsum_hp("bij,bnj->bni", rmat, x)
         else:
-            rot = lambda x: einsum_hp("bij,bnj->bni", rmat, x)
+            if rmat.ndim == 2:
+                rot = lambda x: einsum_hp("bnj,jk->bnk", x, rmat)
+            else:
+                rot = lambda x: einsum_hp("bnj,bjk->bnk", x, rmat)
         return self._map_points(rot, also_normals=rot)
 
-    def transform(self, transform) -> "Pointclouds":
+    def transform(self, transform, *, pre_multiplication: bool = True) -> "Pointclouds":
         """Apply SE(3) transform(s) ``(4, 4)`` or ``(B, 4, 4)``
-        (reference pointclouds.py:526)."""
+        (reference pointclouds.py:526). ``pre_multiplication=False``
+        post-multiplies the rotation (reference transform_ semantics:
+        rotate then offset by the translation)."""
         transform = jnp.asarray(transform)
         if transform.shape[-2:] != (4, 4):
             raise ValueError(
                 f"transform must have shape (*, 4, 4). Got {transform.shape}."
             )
+        if not pre_multiplication:
+            tvec = transform[..., :3, 3]
+            if tvec.ndim == 2:
+                tvec = tvec[:, None]
+            return self.rotate(
+                transform[..., :3, :3], pre_multiplication=False
+            ).offset(tvec)
         return dataclasses.replace(
             self,
             points=transform_pointcloud(self.points, transform),
@@ -323,6 +340,25 @@ class Pointclouds:
 
     def __truediv__(self, other):
         return self.scale(1.0 / jnp.asarray(other))
+
+    def __matmul__(self, other):
+        r"""Post-multiplication SE(3)/SO(3) application to points and normals
+        (reference pointclouds.py:353-389): ``pc @ R`` with ``(3, 3)`` /
+        ``(B, 3, 3)`` rotations or ``pc @ T`` with ``(4, 4)`` / ``(B, 4, 4)``
+        transformations."""
+        other = jnp.asarray(other)
+        if not (
+            (other.ndim == 2 or other.ndim == 3)
+            and (other.shape[-2:] == (3, 3) or other.shape[-2:] == (4, 4))
+        ):
+            raise ValueError(
+                f"Unsupported shape for Pointclouds @ operand: {other.shape}\n"
+                "Use tensor of shape (3, 3) or (B, 3, 3) for rotations, or "
+                "(4, 4) or (B, 4, 4) for transformations"
+            )
+        if other.shape[-2:] == (3, 3):
+            return self.rotate(other, pre_multiplication=False)
+        return self.transform(other, pre_multiplication=False)
 
     # ------------------------------------------------------------------ #
     # Tensor-semantics conveniences (reference clone/detach/to,

@@ -1,0 +1,35 @@
+"""Execute every code cell of the tutorial notebooks (reference §2.2 has
+Jupyter tutorials; ours must actually run — the reference's were never
+CI-executed)."""
+
+import json
+import os
+
+import pytest
+
+NB_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "examples",
+                      "tutorials")
+NOTEBOOKS = [
+    "pointfusion_tutorial.ipynb",
+    "rgbdimages_tutorial.ipynb",
+    "pointclouds_tutorial.ipynb",
+]
+
+
+@pytest.mark.parametrize("name", NOTEBOOKS)
+def test_notebook_cells_execute(name):
+    path = os.path.join(NB_DIR, name)
+    with open(path) as f:
+        nb = json.load(f)
+    assert nb["nbformat"] == 4
+    ns = {}
+    for i, cell in enumerate(nb["cells"]):
+        if cell["cell_type"] != "code":
+            continue
+        src = "".join(cell["source"])
+        if "plotly(" in src or "open3d(" in src:
+            continue  # optional viz deps absent in CI
+        try:
+            exec(compile(src, f"{name}:cell{i}", "exec"), ns)
+        except Exception as e:  # pragma: no cover
+            pytest.fail(f"{name} cell {i} failed: {e}\n---\n{src}")

@@ -83,6 +83,22 @@ class TestOps:
         np.testing.assert_allclose(out.points_list[0], pts[0] @ R.T, atol=1e-5)
         np.testing.assert_allclose(out.normals_list[0], nrm[0] @ R.T, atol=1e-5)
 
+    def test_matmul_operator(self):
+        """`pc @ R` / `pc @ T` post-multiply (reference pointclouds.py:353)."""
+        pts, nrm, _ = make_clouds()
+        pc = Pointclouds.from_list(pts, normals=nrm, capacity=8)
+        T = np.asarray(se3_exp(jnp.asarray([0.1, -0.2, 0.3, 0.2, -0.1, 0.15])))
+        R, t = T[:3, :3], T[:3, 3]
+        out_r = pc @ jnp.asarray(R)
+        np.testing.assert_allclose(out_r.points_list[0], pts[0] @ R, atol=1e-5)
+        np.testing.assert_allclose(out_r.normals_list[0], nrm[0] @ R, atol=1e-5)
+        out_t = pc @ jnp.asarray(T)
+        np.testing.assert_allclose(out_t.points_list[0], pts[0] @ R + t, atol=1e-5)
+        # normals rotate but don't translate
+        np.testing.assert_allclose(out_t.normals_list[0], nrm[0] @ R, atol=1e-5)
+        with pytest.raises(ValueError):
+            pc @ jnp.zeros((2, 2))
+
 
 class TestAppend:
     def test_append_points(self):
