@@ -31,7 +31,11 @@ __all__ = [
     "normalize_pixel_coords",
     "unnormalize_pixel_coords",
     "cam2pixel",
+    "cam2pixel_KF",
     "pixel2cam",
+    "inverse_transfom_3d",
+    "compose_transforms_3d",
+    "relative_transform_3d",
 ]
 
 
@@ -257,3 +261,51 @@ def quaternion_to_axisangle(quaternion, eps: float = 1e-12) -> jnp.ndarray:
     safe_sin = jnp.where(sin_half < eps, jnp.ones_like(sin_half), sin_half)
     scale = jnp.where(sin_half < eps, 2.0, 2.0 * half_angle / safe_sin)
     return xyz * scale[..., None]
+
+
+def inverse_transfom_3d(trans) -> jnp.ndarray:
+    r"""Invert homogeneous ``(*, 4, 4)`` transform(s)
+    (reference geometryutils.py:205-242 — the reference's misspelled name is
+    kept for drop-in parity; :func:`inverse_transformation` is the
+    correctly-named equivalent)."""
+    return inverse_transformation(trans)
+
+
+def compose_transforms_3d(trans1, trans2) -> jnp.ndarray:
+    r"""Compose two homogeneous transforms: ``trans1 @ trans2`` on the
+    rotation/translation blocks (reference geometryutils.py:244-302)."""
+    trans1, trans2 = jnp.asarray(trans1), jnp.asarray(trans2)
+    if trans1.shape != trans2.shape:
+        raise ValueError(
+            "Both input transformations must have the same shape. "
+            f"Got {trans1.shape} and {trans2.shape}."
+        )
+    return compose_transformations(trans1, trans2)
+
+
+def relative_transform_3d(trans_01, trans_02) -> jnp.ndarray:
+    r"""Relative transform ``trans_12 = trans_01^{-1} @ trans_02``
+    (reference geometryutils.py:413-436 wrapper over compose/inverse)."""
+    return compose_transforms_3d(inverse_transfom_3d(trans_01), jnp.asarray(trans_02))
+
+
+def cam2pixel_KF(cam_coords_src, P, eps: float = 1e-6) -> jnp.ndarray:
+    r"""Project camera coordinates ``(*, 3)`` through a ``(4, 4)`` projection
+    matrix with the z != 0 divide guard, KinectFusion-style grid variant
+    (reference geometryutils.py:703-734). Identical math to :func:`cam2pixel`
+    but routed through the batched ``transform_pts_nd`` path when ``P`` is
+    batched."""
+    cam_coords_src = jnp.asarray(cam_coords_src)
+    if cam_coords_src.shape[-1] != 3:
+        raise ValueError(
+            f"cam_coords_src must have shape (*, 3). Got {cam_coords_src.shape}."
+        )
+    P = jnp.asarray(P)
+    if P.ndim < 2 or P.shape[-2:] != (4, 4):
+        raise ValueError(f"P must have shape (*, 4, 4). Got {P.shape}.")
+    pts = transform_pts_3d(cam_coords_src, P) if P.ndim == 2 else transform_pts_nd(
+        cam_coords_src, P
+    )
+    z = pts[..., 2]
+    zg = jnp.where(z != 0, z, jnp.ones_like(z))
+    return jnp.stack([pts[..., 0] / zg, pts[..., 1] / zg], axis=-1)

@@ -301,6 +301,7 @@ def downsample_rgbdimages(rgbdimages: RGBDImages, ds_ratio: int) -> Pointclouds:
         raise TypeError(
             f"Expected rgbdimages to be of type RGBDImages. Got {type(rgbdimages)}."
         )
+    rgbdimages = rgbdimages.to_channels_last()
     if not isinstance(ds_ratio, int):
         raise TypeError(f"Expected ds_ratio to be of type int. Got {type(ds_ratio)}.")
     if rgbdimages.shape[1] != 1:

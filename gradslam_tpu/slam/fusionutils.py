@@ -110,6 +110,7 @@ def find_active_map_points(
         raise TypeError(
             f"Expected rgbdimages to be of type RGBDImages. Got {type(rgbdimages)}."
         )
+    rgbdimages = rgbdimages.to_channels_last()
     if rgbdimages.shape[1] != 1:
         raise ValueError(
             f"Expected rgbdimages to have sequence length of 1. Got {rgbdimages.shape[1]}."
@@ -160,6 +161,7 @@ def find_similar_map_points(
         raise ValueError(
             "Pointclouds must have normals for finding similar map points, but did not."
         )
+    rgbdimages = rgbdimages.to_channels_last()
     B, _, H, W = rgbdimages.shape
     pix = active.pix_h * W + active.pix_w  # (B, CAP)
     frame_points = _gather_pixels(
@@ -192,6 +194,7 @@ def find_best_unique_correspondences(
             "Pointclouds must have features for finding best unique "
             "correspondences, but did not."
         )
+    rgbdimages = rgbdimages.to_channels_last()
     B, _, H, W = rgbdimages.shape
     cap = pointclouds.capacity
     mask = active.valid if similar_mask is None else similar_mask
@@ -253,6 +256,7 @@ def fuse_with_map(
     r"""Confidence-weighted merge of corresponded points plus append of
     un-corresponded live points (reference fusionutils.py:580-723).
     """
+    rgbdimages = rgbdimages.to_channels_last()
     B, _, H, W = rgbdimages.shape
     vertex_flat = rgbdimages.global_vertex_map.reshape(B, H * W, 3)
     normal_flat = rgbdimages.global_normal_map.reshape(B, H * W, 3)
@@ -390,6 +394,7 @@ def update_map_fusion(
       640x480 1M-capacity headline workload).
     - ``'auto'`` (default): 'gather' when ``capacity <= 6 * H * W``.
     """
+    rgbdimages = rgbdimages.to_channels_last()
     B, _, H, W = rgbdimages.shape
     cap = pointclouds.capacity
     HW = H * W
@@ -631,6 +636,7 @@ def update_map_aggregate(
         raise TypeError(
             f"Expected rgbdimages to be of type RGBDImages. Got {type(rgbdimages)}."
         )
+    rgbdimages = rgbdimages.to_channels_last()
     B, _, H, W = rgbdimages.shape
     vertex_flat = rgbdimages.global_vertex_map.reshape(B, H * W, 3)
     normal_flat = rgbdimages.global_normal_map.reshape(B, H * W, 3)

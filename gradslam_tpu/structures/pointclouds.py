@@ -183,6 +183,17 @@ class Pointclouds:
         return self.features
 
     @property
+    def num_features(self) -> int:
+        """Number of feature channels, 0 when there are none
+        (reference pointclouds.py:669-681)."""
+        return 0 if self.features is None else self.features.shape[-1]
+
+    @property
+    def num_points_per_pointcloud(self) -> jnp.ndarray:
+        """(B,) live point counts (reference pointclouds.py:812-822)."""
+        return self.num_points
+
+    @property
     def has_points(self) -> bool:
         """Host-side check (do not use inside jit — query num_points instead)."""
         return bool(jax.device_get(jnp.any(self.num_points > 0)))
@@ -373,6 +384,63 @@ class Pointclouds:
 
     def to(self, device) -> "Pointclouds":
         return jax.device_put(self, device)
+
+    def with_capacity(self, capacity: int) -> "Pointclouds":
+        """Return a copy whose padded buffers are grown to ``capacity``
+        (amortized map growth: every fusion stage is O(capacity), so SLAM
+        pipelines scan early frames with small buffers and re-pad between
+        segments — see ``ICPSLAM(map_capacity=[(frames, cap), ...])``).
+        Zero-pads on the capacity axis; contents and live counts unchanged.
+        """
+        if capacity == self.capacity:
+            return self
+        if capacity < self.capacity:
+            raise ValueError(
+                f"with_capacity can only grow the buffer: requested {capacity} "
+                f"< current capacity {self.capacity} (shrinking could drop "
+                "live points; use prune_map/compaction instead)."
+            )
+        pad = ((0, 0), (0, capacity - self.capacity), (0, 0))
+
+        def grow(x):
+            return None if x is None else jnp.pad(x, pad)
+
+        return dataclasses.replace(
+            self,
+            points=grow(self.points),
+            normals=grow(self.normals),
+            colors=grow(self.colors),
+            features=grow(self.features),
+        )
+
+    def cpu(self) -> "Pointclouds":
+        """Move to host (reference pointclouds.py:1066-1081)."""
+        return self.to(jax.devices("cpu")[0])
+
+    def cuda(self) -> "Pointclouds":
+        """Move to the default accelerator — on this framework a TPU (or
+        whatever ``jax.devices()[0]`` is); name kept for drop-in parity with
+        the reference (pointclouds.py:1083-1098)."""
+        return self.to(jax.devices()[0])
+
+    # Reference in-place variants (pointclouds.py:390-613). JAX arrays are
+    # immutable, so these cannot mutate; they return the new Pointclouds
+    # (the reference returns ``self`` after mutation, so chained call sites
+    # ``pc = pc.offset_(x)`` work identically).
+    def offset_(self, offsets) -> "Pointclouds":
+        return self.offset(offsets)
+
+    def scale_(self, scales) -> "Pointclouds":
+        return self.scale(scales)
+
+    def rotate_(self, rmat) -> "Pointclouds":
+        return self.rotate(rmat)
+
+    def transform_(self, transform) -> "Pointclouds":
+        return self.transform(transform)
+
+    def pinhole_projection_(self, intrinsics) -> "Pointclouds":
+        return self.pinhole_projection(intrinsics)
 
     # ------------------------------------------------------------------ #
     # Map growth (the reference's append_points, pointclouds.py:1117)

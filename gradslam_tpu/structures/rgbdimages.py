@@ -40,30 +40,36 @@ __all__ = ["RGBDImages"]
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class RGBDImages:
-    rgb_image: jnp.ndarray  # (B, L, H, W, 3)
-    depth_image: jnp.ndarray  # (B, L, H, W, 1)
+    rgb_image: jnp.ndarray  # (B, L, H, W, 3) — or (B, L, 3, H, W) if channels_first
+    depth_image: jnp.ndarray  # (B, L, H, W, 1) — or (B, L, 1, H, W)
     intrinsics: jnp.ndarray  # (B, 1, 4, 4)
     poses: Optional[jnp.ndarray] = None  # (B, L, 4, 4)
+    # Static layout flag (reference rgbdimages.py:242-257). Channels-last is
+    # the canonical TPU layout; channels-first instances exist only for
+    # reference API parity — derived maps transparently convert.
+    channels_first: bool = dataclasses.field(
+        default=False, metadata=dict(static=True)
+    )
 
     def __post_init__(self):
         rgb = self.rgb_image
         if not hasattr(rgb, "ndim") or isinstance(rgb, jax.core.Tracer):
             return
+        cdim = 2 if self.channels_first else 4
+        layout = "(B, L, 3, H, W)" if self.channels_first else "(B, L, H, W, 3)"
         if rgb.ndim != 5:
-            raise ValueError(
-                f"rgb_image must have shape (B, L, H, W, 3). Got {rgb.shape}."
-            )
-        if rgb.shape[-1] != 3:
-            if rgb.shape[2] == 3:
+            raise ValueError(f"rgb_image must have shape {layout}. Got {rgb.shape}.")
+        if rgb.shape[cdim] != 3:
+            if not self.channels_first and rgb.shape[2] == 3:
                 raise ValueError(
-                    "rgb_image appears channels-first; use RGBDImages.from_channels_first."
+                    "rgb_image appears channels-first; use "
+                    "RGBDImages.from_channels_first or channels_first=True."
                 )
+            raise ValueError(f"rgb_image must have shape {layout}. Got {rgb.shape}.")
+        expected_depth = rgb.shape[:cdim] + (1,) + rgb.shape[cdim + 1:]
+        if self.depth_image.shape != expected_depth:
             raise ValueError(
-                f"rgb_image must have shape (B, L, H, W, 3). Got {rgb.shape}."
-            )
-        if self.depth_image.shape[:4] != rgb.shape[:4] or self.depth_image.shape[-1] != 1:
-            raise ValueError(
-                f"depth_image must have shape (B, L, H, W, 1) matching rgb "
+                f"depth_image must have shape {expected_depth} matching rgb "
                 f"{rgb.shape}. Got {self.depth_image.shape}."
             )
         if self.intrinsics.shape[0] != rgb.shape[0] or self.intrinsics.shape[-2:] != (4, 4):
@@ -80,7 +86,8 @@ class RGBDImages:
     # ------------------------------------------------------------------ #
     @classmethod
     def from_channels_first(cls, rgb_image, depth_image, intrinsics, poses=None):
-        """Accept the reference's channels-first layout ``(B, L, C, H, W)``."""
+        """Accept the reference's channels-first layout ``(B, L, C, H, W)``,
+        converting to the canonical channels-last storage."""
         rgb_image = jnp.moveaxis(jnp.asarray(rgb_image), 2, -1)
         depth_image = jnp.moveaxis(jnp.asarray(depth_image), 2, -1)
         return cls(rgb_image, depth_image, jnp.asarray(intrinsics),
@@ -91,7 +98,10 @@ class RGBDImages:
     # ------------------------------------------------------------------ #
     @property
     def shape(self) -> Tuple[int, int, int, int]:
-        B, L, H, W = self.rgb_image.shape[:4]
+        B, L = self.rgb_image.shape[:2]
+        H, W = self.rgb_image.shape[3:5] if self.channels_first else (
+            self.rgb_image.shape[2:4]
+        )
         return (B, L, H, W)
 
     def __len__(self) -> int:
@@ -99,15 +109,52 @@ class RGBDImages:
 
     @property
     def h(self) -> int:
-        return self.rgb_image.shape[2]
+        return self.shape[2]
 
     @property
     def w(self) -> int:
-        return self.rgb_image.shape[3]
+        return self.shape[3]
+
+    @property
+    def cdim(self) -> int:
+        """Channel dimension index: 2 if channels-first else 4
+        (reference rgbdimages.py:251-257)."""
+        return 2 if self.channels_first else 4
 
     @property
     def has_poses(self) -> bool:
         return self.poses is not None
+
+    # Layout conversions (reference rgbdimages.py:543-617). Pytrees are
+    # immutable, so the ``_`` variants also return the converted object —
+    # reference call sites ``frames = frames.to_channels_last()`` and
+    # ``frames.to_channels_last_()``-then-use both keep working only in the
+    # assignment form; the methods exist for drop-in API parity.
+    def to_channels_last(self) -> "RGBDImages":
+        if not self.channels_first:
+            return self
+        return dataclasses.replace(
+            self,
+            rgb_image=jnp.moveaxis(self.rgb_image, 2, -1),
+            depth_image=jnp.moveaxis(self.depth_image, 2, -1),
+            channels_first=False,
+        )
+
+    def to_channels_first(self) -> "RGBDImages":
+        if self.channels_first:
+            return self
+        return dataclasses.replace(
+            self,
+            rgb_image=jnp.moveaxis(self.rgb_image, -1, 2),
+            depth_image=jnp.moveaxis(self.depth_image, -1, 2),
+            channels_first=True,
+        )
+
+    def to_channels_last_(self) -> "RGBDImages":
+        return self.to_channels_last()
+
+    def to_channels_first_(self) -> "RGBDImages":
+        return self.to_channels_first()
 
     def __getitem__(self, index) -> "RGBDImages":
         """Batch/sequence indexing: ``frames[:, s]`` keeps dims (L becomes 1
@@ -122,7 +169,8 @@ class RGBDImages:
 
         bidx = norm(index[0])
         sidx = norm(index[1]) if len(index) > 1 else slice(None)
-        return RGBDImages(
+        return dataclasses.replace(
+            self,
             rgb_image=self.rgb_image[bidx, sidx],
             depth_image=self.depth_image[bidx, sidx],
             intrinsics=self.intrinsics[bidx],
@@ -143,18 +191,35 @@ class RGBDImages:
     def to(self, device) -> "RGBDImages":
         return jax.device_put(self, device)
 
+    def cpu(self) -> "RGBDImages":
+        """Move to host (reference rgbdimages.py:505-517)."""
+        return self.to(jax.devices("cpu")[0])
+
+    def cuda(self) -> "RGBDImages":
+        """Move to the default accelerator — on this framework a TPU; name
+        kept for drop-in parity (reference rgbdimages.py:519-531)."""
+        return self.to(jax.devices()[0])
+
+    def _to_layout(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Move a channels-last derived map to this container's layout
+        (reference derived maps follow the layout flag, rgbdimages.py:543-574)."""
+        return jnp.moveaxis(x, -1, 2) if self.channels_first else x
+
     # ------------------------------------------------------------------ #
     # Derived maps (pure functions of the fields)
     # ------------------------------------------------------------------ #
     @property
     def valid_depth_mask(self) -> jnp.ndarray:
-        """(B, L, H, W, 1) bool — True where depth > 0 (rgbdimages.py:320)."""
+        """(B, L, H, W, 1) bool — True where depth > 0 (rgbdimages.py:320);
+        channel dim follows the layout."""
         return self.depth_image > 0
 
     @property
     def pixel_pos(self) -> jnp.ndarray:
         """(B, L, H, W, 3) homogeneous pixel coordinates ``(u, v, 1)``
         (u = column, v = row; rgbdimages.py:649-661)."""
+        if self.channels_first:
+            return self._to_layout(self.to_channels_last().pixel_pos)
         B, L, H, W = self.shape
         grid = create_meshgrid(H, W, normalized_coords=False,
                                dtype=self.depth_image.dtype)[0]  # (H, W, 2) rows, cols
@@ -166,6 +231,8 @@ class RGBDImages:
     @property
     def vertex_map(self) -> jnp.ndarray:
         """(B, L, H, W, 3) camera-frame backprojection (rgbdimages.py:643-679)."""
+        if self.channels_first:
+            return self._to_layout(self.to_channels_last().vertex_map)
         Kinv = inverse_intrinsics(self.intrinsics)[..., :3, :3]  # (B, 1, 3, 3)
         vmap_ = (
             einsum_hp("bsjc,bshwc->bshwj", jnp.broadcast_to(
@@ -177,6 +244,8 @@ class RGBDImages:
     @property
     def global_vertex_map(self) -> jnp.ndarray:
         """(B, L, H, W, 3) world-frame vertices (rgbdimages.py:681-708)."""
+        if self.channels_first:
+            return self._to_layout(self.to_channels_last().global_vertex_map)
         if self.poses is None:
             return self.vertex_map
         rmat = self.poses[..., :3, :3]
@@ -189,6 +258,8 @@ class RGBDImages:
     def normal_map(self) -> jnp.ndarray:
         """(B, L, H, W, 3) camera-frame normals from finite differences
         (rgbdimages.py:710-743)."""
+        if self.channels_first:
+            return self._to_layout(self.to_channels_last().normal_map)
         # Barrier: XLA otherwise duplicates the fused vertex-map producer into
         # the two difference branches with different FMA contractions, leaving
         # ~1e-8 noise where dhoriz == dverti exactly — which the cross product
@@ -226,6 +297,8 @@ class RGBDImages:
     @property
     def global_normal_map(self) -> jnp.ndarray:
         """(B, L, H, W, 3) world-frame normals (rgbdimages.py:745-762)."""
+        if self.channels_first:
+            return self._to_layout(self.to_channels_last().global_normal_map)
         if self.poses is None:
             return self.normal_map
         rmat = self.poses[..., :3, :3]
@@ -236,10 +309,14 @@ class RGBDImages:
     # ------------------------------------------------------------------ #
     @property
     def rgb_image_channels_first(self) -> jnp.ndarray:
+        if self.channels_first:
+            return self.rgb_image
         return jnp.moveaxis(self.rgb_image, -1, 2)
 
     @property
     def depth_image_channels_first(self) -> jnp.ndarray:
+        if self.channels_first:
+            return self.depth_image
         return jnp.moveaxis(self.depth_image, -1, 2)
 
     def plotly(
@@ -260,6 +337,7 @@ class RGBDImages:
         """
         if not isinstance(index, int):
             raise TypeError(f"Index should be int, but was {type(index)}.")
+        self = self.to_channels_last()
         import math
 
         import numpy as np
@@ -328,6 +406,7 @@ class RGBDImages:
     def plotly_vertex_scatter(self, index: int, ds_ratio: int = 4):
         """3-D plotly scatter of the global vertex map for batch ``index``
         (extra viewer beyond the reference API). Requires plotly."""
+        self = self.to_channels_last()
         import numpy as np
         import plotly.graph_objects as go  # optional dep
 

@@ -45,6 +45,7 @@ def pointclouds_from_rgbdimages(
         raise ValueError(
             f"Expected rgbdimages to have sequence length of 1. Got {rgbdimages.shape[1]}."
         )
+    rgbdimages = rgbdimages.to_channels_last()  # reference utils.py:39
     B, _, H, W = rgbdimages.shape
     cap = capacity if capacity is not None else H * W
 

@@ -39,3 +39,21 @@ def msrd():
         "global_normal_map",
     ]
     return {n: np.load(os.path.join(DATA_DIR, f"{n}.npy")) for n in names}
+
+
+@pytest.fixture(scope="session")
+def synthetic_clip():
+    """Factory for small synthetic RGB-D clips (procedural static scene)."""
+    import jax.numpy as jnp
+
+    from gradslam_tpu import RGBDImages
+    from gradslam_tpu.datasets import synthetic_sequence
+
+    def make(B=1, L=4, H=16, W=24, seed=0):
+        rgb, depth, intrinsics, poses = synthetic_sequence(B, L, H, W, seed=seed)
+        return RGBDImages(
+            jnp.asarray(rgb), jnp.asarray(depth), jnp.asarray(intrinsics),
+            jnp.asarray(poses),
+        )
+
+    return make

@@ -230,3 +230,48 @@ class TestSE3:
         f = jax.jit(se3_exp)
         xi = jnp.ones(6) * 0.1
         np.testing.assert_allclose(np.asarray(f(xi)), np.asarray(se3_exp(xi)), atol=1e-6)
+
+
+class TestReferenceCompatNames:
+    """The reference's geometryutils public surface kept verbatim
+    (inverse_transfom_3d:205 [sic], compose_transforms_3d:244,
+    relative_transform_3d:393, cam2pixel_KF:703)."""
+
+    def test_inverse_compose_relative(self):
+        from gradslam_tpu.geometry.geometryutils import (
+            compose_transforms_3d,
+            inverse_transfom_3d,
+            relative_transform_3d,
+        )
+
+        T1 = np.eye(4, dtype=np.float32)
+        T1[:3, 3] = [1.0, 2.0, 3.0]
+        T2 = np.eye(4, dtype=np.float32)
+        T2[:3, :3] = np.array(
+            [[0, -1, 0], [1, 0, 0], [0, 0, 1]], dtype=np.float32
+        )
+        T2[:3, 3] = [4.0, 5.0, 6.0]
+        np.testing.assert_allclose(
+            np.asarray(compose_transforms_3d(T1, T2)), T1 @ T2, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(inverse_transfom_3d(T2)) @ T2, np.eye(4), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(relative_transform_3d(T1, T2)),
+            np.linalg.inv(T1) @ T2,
+            atol=1e-6,
+        )
+        with pytest.raises(ValueError):
+            compose_transforms_3d(T1, np.stack([T2, T2]))
+
+    def test_cam2pixel_KF(self):
+        from gradslam_tpu.geometry.geometryutils import cam2pixel_KF
+
+        pts = np.array([[0.0, 0.0, 2.0], [1.0, 1.0, 0.0]], dtype=np.float32)
+        P = np.eye(4, dtype=np.float32)
+        P[:3, 3] = [1.0, 2.0, 3.0]
+        uv = np.asarray(cam2pixel_KF(pts, P))
+        np.testing.assert_allclose(uv[0], [1.0 / 5.0, 2.0 / 5.0], atol=1e-6)
+        # z == 0 guard: divide by 1 instead of 0
+        np.testing.assert_allclose(uv[1], [2.0 / 3.0, 3.0 / 3.0], atol=1e-6)

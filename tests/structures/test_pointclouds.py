@@ -206,3 +206,55 @@ class TestTensorSemantics:
         pc = Pointclouds.empty(1, 4)
         out = pc.to(jax.devices()[0])
         assert out.points.device == jax.devices()[0]
+
+
+class TestReferenceCompatSurface:
+    """Reference API names kept verbatim: num_features (pointclouds.py:669),
+    num_points_per_pointcloud (:812), cpu/cuda (:1066/:1083), and the
+    in-place `_` op variants (:390-613 — immutable pytrees return the new
+    object)."""
+
+    def _pc(self):
+        pts = [np.arange(15, dtype=np.float32).reshape(5, 3),
+               np.ones((3, 3), dtype=np.float32)]
+        feats = [np.ones((5, 2), np.float32), np.ones((3, 2), np.float32)]
+        return Pointclouds.from_list(points=pts, features=feats), pts
+
+    def test_counters(self):
+        pc, _ = self._pc()
+        assert pc.num_features == 2
+        np.testing.assert_array_equal(
+            np.asarray(pc.num_points_per_pointcloud), [5, 3]
+        )
+        empty = Pointclouds.empty(1, 4, feature_dim=None)
+        assert empty.num_features == 0
+
+    def test_inplace_variants_match_pure(self):
+        pc, pts = self._pc()
+        np.testing.assert_allclose(
+            np.asarray(pc.offset_(jnp.ones(3)).points_list[0]), pts[0] + 1.0
+        )
+        np.testing.assert_allclose(
+            np.asarray(pc.scale_(2.0).points_list[0]), pts[0] * 2.0
+        )
+        R = np.array([[0, -1, 0], [1, 0, 0], [0, 0, 1]], dtype=np.float32)
+        np.testing.assert_allclose(
+            np.asarray(pc.rotate_(R).points_list[0]),
+            np.asarray(pc.rotate(R).points_list[0]),
+        )
+        T = np.eye(4, dtype=np.float32)
+        T[:3, 3] = [1, 2, 3]
+        np.testing.assert_allclose(
+            np.asarray(pc.transform_(T).points_list[0]),
+            np.asarray(pc.transform(T).points_list[0]),
+        )
+        K = np.eye(4, dtype=np.float32)
+        np.testing.assert_allclose(
+            np.asarray(pc.pinhole_projection_(K).points),
+            np.asarray(pc.pinhole_projection(K).points),
+        )
+
+    def test_cpu_roundtrip(self):
+        pc, pts = self._pc()
+        host = pc.cpu()
+        np.testing.assert_allclose(np.asarray(host.points), np.asarray(pc.points))

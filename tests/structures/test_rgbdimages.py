@@ -124,3 +124,74 @@ class TestStructure:
         g = jax.grad(loss)(frames.depth_image)
         assert np.all(np.isfinite(np.asarray(g)))
         assert float(jnp.abs(g).max()) > 0
+
+
+class TestChannelsFirstLayout:
+    """Reference layout parity (rgbdimages.py:242-257, 543-617): the
+    channels_first ctor flag, cdim, to_channels_first/last (+ `_` variants),
+    and layout-following derived maps."""
+
+    def test_roundtrip_and_cdim(self, msrd):
+        frames = make_frames(msrd)
+        assert not frames.channels_first and frames.cdim == 4
+        cf = frames.to_channels_first()
+        assert cf.channels_first and cf.cdim == 2
+        assert cf.rgb_image.shape == (2, 3, 3, 120, 160)
+        assert cf.depth_image.shape == (2, 3, 1, 120, 160)
+        assert cf.shape == frames.shape
+        back = cf.to_channels_last()
+        np.testing.assert_array_equal(
+            np.asarray(back.rgb_image), np.asarray(frames.rgb_image)
+        )
+        # `_` variants are aliases (pytrees are immutable)
+        assert cf.to_channels_first_() is cf
+        assert frames.to_channels_last_() is frames
+
+    def test_ctor_flag(self, msrd):
+        frames = make_frames(msrd)
+        cf = RGBDImages(
+            jnp.moveaxis(frames.rgb_image, -1, 2),
+            jnp.moveaxis(frames.depth_image, -1, 2),
+            frames.intrinsics,
+            frames.poses,
+            channels_first=True,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(cf.to_channels_last().rgb_image),
+            np.asarray(frames.rgb_image),
+        )
+
+    def test_derived_maps_follow_layout(self, msrd):
+        frames = make_frames(msrd)
+        cf = frames.to_channels_first()
+        vm = cf.global_vertex_map
+        assert vm.shape == (2, 3, 3, 120, 160)
+        np.testing.assert_allclose(
+            np.moveaxis(np.asarray(vm), 2, -1),
+            np.asarray(frames.global_vertex_map),
+            atol=1e-6,
+        )
+        nm = cf.normal_map
+        assert nm.shape == (2, 3, 3, 120, 160)
+        assert cf.valid_depth_mask.shape == (2, 3, 1, 120, 160)
+        assert cf[0, 1].channels_first and cf[0, 1].shape == (1, 1, 120, 160)
+
+    def test_jit_static_flag(self, msrd):
+        frames = make_frames(msrd)
+        cf = frames.to_channels_first()
+        out = jax.jit(lambda f: f.to_channels_last().vertex_map)(cf)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(frames.vertex_map), atol=1e-6
+        )
+
+    def test_pipeline_accepts_channels_first(self, msrd):
+        from gradslam_tpu import PointFusion
+
+        frames = make_frames(msrd)
+        slam = PointFusion(odom="gt", map_capacity=120 * 160 * 3)
+        pc1, tr1 = slam(frames)
+        pc2, tr2 = slam(frames.to_channels_first())
+        np.testing.assert_allclose(np.asarray(tr1), np.asarray(tr2))
+        np.testing.assert_allclose(
+            np.asarray(pc1.points), np.asarray(pc2.points)
+        )
