@@ -45,8 +45,14 @@ class ICPSLAM:
         dsratio: downsampling ratio applied to frames and map before ICP.
         numiters / damp / dist_thresh: ICP solver parameters.
         lambda_max / B / B2 / nu: gradLM parameters (odom='gradicp').
-        map_capacity: fixed capacity of the global map buffer; default is
-            ``L * H * W`` (the aggregate worst case) at call time.
+        map_capacity: capacity of the global map buffer. Either a fixed int
+            (default ``L * H * W`` — the aggregate worst case — at call time)
+            or a growth schedule ``[(frames, capacity), ...]``: ``forward``
+            then scans each segment of the sequence with its own (smaller)
+            buffer and zero-pads the map between segments. Every fusion
+            stage is O(capacity), so amortized growth cuts early-frame cost
+            the way a growable array does; results are identical to running
+            the final capacity throughout (provided no segment overflows).
         icp_capacity: fixed capacity of the downsampled ICP target buffer;
             default ``ceil(H/ds) * ceil(W/ds) * 2``.
         use_jit: jit-compile forward/step (disable for debugging).
@@ -115,7 +121,7 @@ class ICPSLAM:
             )
         if self.odom == "gt" and frames.poses is None:
             raise ValueError("`frames` must have poses when `odom='gt'`.")
-        return self._forward(frames)
+        return self._forward(frames.to_channels_last())
 
     def step(
         self,
@@ -141,6 +147,8 @@ class ICPSLAM:
             raise ValueError(
                 "`live_frame` must have poses when `prev_frame` is None or `odom='gt'`."
             )
+        live_frame = live_frame.to_channels_last()
+        prev_frame = None if prev_frame is None else prev_frame.to_channels_last()
         if prev_frame is None or self.odom == "gt":
             poses = live_frame.poses
             new_map = self._map(pointclouds, live_frame)
@@ -152,7 +160,32 @@ class ICPSLAM:
     # ------------------------------------------------------------------ #
     def _default_map_capacity(self, frames: RGBDImages) -> int:
         B, L, H, W = frames.shape
-        return self.map_capacity if self.map_capacity is not None else L * H * W
+        if self.map_capacity is None:
+            return L * H * W
+        if isinstance(self.map_capacity, int):
+            return self.map_capacity
+        return max(c for _, c in self.map_capacity)
+
+    def _capacity_schedule(self, frames: RGBDImages):
+        """Normalize ``map_capacity`` into ``[(frames, capacity), ...]``."""
+        B, L, H, W = frames.shape
+        cap = self.map_capacity
+        if cap is None or isinstance(cap, int):
+            return [(L, self._default_map_capacity(frames))]
+        sched = [(int(n), int(c)) for n, c in cap]
+        if any(n <= 0 or c <= 0 for n, c in sched):
+            raise ValueError(f"Invalid capacity schedule: {sched}.")
+        if sum(n for n, _ in sched) != L:
+            raise ValueError(
+                f"Capacity schedule covers {sum(n for n, _ in sched)} frames "
+                f"but the sequence has {L}."
+            )
+        caps = [c for _, c in sched]
+        if any(c2 < c1 for c1, c2 in zip(caps, caps[1:])):
+            raise ValueError(
+                f"Capacity schedule must be non-decreasing. Got {caps}."
+            )
+        return sched
 
     def _default_icp_capacity(self, H: int, W: int) -> int:
         if self.icp_capacity is not None:
@@ -211,8 +244,8 @@ class ICPSLAM:
 
     def _forward_impl(self, frames: RGBDImages):
         B, L, H, W = frames.shape
-        capacity = self._default_map_capacity(frames)
-        map_pc = self._empty_map(B, capacity)
+        schedule = self._capacity_schedule(frames)
+        map_pc = self._empty_map(B, schedule[0][1])
         intrinsics = frames.intrinsics
 
         if self.odom == "gt":
@@ -230,7 +263,22 @@ class ICPSLAM:
 
             if self.remat:
                 body = jax.checkpoint(body)
-            map_pc, poses_out = jax.lax.scan(body, map_pc, (rgb_l, depth_l, poses_l))
+            chunks = []
+            start = 0
+            for n, cap_seg in schedule:
+                map_pc = map_pc.with_capacity(cap_seg)
+                map_pc, poses_out = jax.lax.scan(
+                    body,
+                    map_pc,
+                    (
+                        rgb_l[start:start + n],
+                        depth_l[start:start + n],
+                        poses_l[start:start + n],
+                    ),
+                )
+                chunks.append(poses_out)
+                start += n
+            poses_out = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks)
             return map_pc, jnp.moveaxis(poses_out, 0, 1)
 
         # ICP / GradICP odometry: bootstrap frame 0 with the provided (or
@@ -263,7 +311,22 @@ class ICPSLAM:
 
         if self.remat:
             body = jax.checkpoint(body)
-        (map_pc, _), poses_rest = jax.lax.scan(body, (map_pc, pose0), (rgb_l, depth_l))
+        chunks = []
+        start = 0
+        prev_pose = pose0
+        for i, (n, cap_seg) in enumerate(schedule):
+            n_scan = n - 1 if i == 0 else n  # frame 0 was mapped above
+            map_pc = map_pc.with_capacity(cap_seg)
+            if n_scan == 0:
+                continue
+            (map_pc, prev_pose), poses_seg = jax.lax.scan(
+                body,
+                (map_pc, prev_pose),
+                (rgb_l[start:start + n_scan], depth_l[start:start + n_scan]),
+            )
+            chunks.append(poses_seg)
+            start += n_scan
+        poses_rest = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks)
         poses_out = jnp.concatenate(
             [pose0[:, None], jnp.moveaxis(poses_rest, 0, 1)], axis=1
         )

@@ -212,3 +212,49 @@ class TestNoRetrace:
         for _ in range(3):
             pc, _ = slam.step(pc, frames[:, 1], frames[:, 0])
         assert slam._step._cache_size() == n_compiles
+
+
+class TestCapacitySchedule:
+    """map_capacity=[(frames, cap), ...] — amortized map growth: per-segment
+    scans with growing buffers must match the fixed-capacity run exactly
+    (provided no segment overflows)."""
+
+    @pytest.mark.parametrize(
+        "cls,kw",
+        [
+            (PointFusion, dict(odom="gt")),
+            (PointFusion, dict(odom="gradicp", dsratio=2, numiters=4)),
+            (ICPSLAM, dict(odom="icp", dsratio=2, numiters=4)),
+        ],
+    )
+    def test_schedule_equals_fixed(self, synthetic_clip, cls, kw):
+        frames = synthetic_clip(B=1, L=6, H=24, W=32)
+        H, W = 24, 32
+        fixed = cls(map_capacity=4 * H * W, **kw)
+        sched = cls(map_capacity=[(2, 2 * H * W), (4, 4 * H * W)], **kw)
+        pc1, tr1 = fixed(frames)
+        pc2, tr2 = sched(frames)
+        n1, n2 = int(pc1.num_points[0]), int(pc2.num_points[0])
+        assert n1 == n2
+        np.testing.assert_allclose(np.asarray(tr1), np.asarray(tr2), atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(pc1.points[:, :n1]), np.asarray(pc2.points[:, :n2]),
+            atol=1e-6,
+        )
+
+    def test_schedule_validation(self, synthetic_clip):
+        frames = synthetic_clip(B=1, L=5, H=16, W=16)
+        with pytest.raises(ValueError):  # decreasing capacities
+            PointFusion(odom="gt", map_capacity=[(2, 100), (3, 50)])(frames)
+        with pytest.raises(ValueError):  # wrong frame coverage
+            PointFusion(odom="gt", map_capacity=[(2, 100)])(frames)
+        with pytest.raises(ValueError):  # non-positive entries
+            PointFusion(odom="gt", map_capacity=[(0, 100), (5, 100)])(frames)
+
+    def test_with_capacity_grow_only(self):
+        pc = Pointclouds.empty(2, 8)
+        grown = pc.with_capacity(16)
+        assert grown.capacity == 16 and len(grown) == 2
+        assert grown.with_capacity(16) is grown
+        with pytest.raises(ValueError):
+            grown.with_capacity(8)
