@@ -18,8 +18,15 @@ from .base import RGBDSequenceDataset
 __all__ = ["SyntheticRGBD", "synthetic_sequence"]
 
 
-def synthetic_sequence(B: int, L: int, H: int, W: int, seed: int = 0):
+def synthetic_sequence(
+    B: int, L: int, H: int, W: int, seed: int = 0, speed: float = 1.0
+):
     r"""Render a batch of synthetic sequences.
+
+    ``speed`` scales the camera's per-frame translation (1.0 = the default
+    5 mm/frame pan). Faster cameras expose more novel surface per frame, so
+    the fused map grows faster — used by the large-map benchmark config
+    (BASELINE.md #4) to push the map into the millions of points.
 
     Returns numpy ``(rgb (B,L,H,W,3), depths (B,L,H,W,1),
     intrinsics (B,1,4,4), poses (B,L,4,4))``, all float32.
@@ -43,7 +50,8 @@ def synthetic_sequence(B: int, L: int, H: int, W: int, seed: int = 0):
 
     depths = np.stack(
         [
-            render_depth(0.005 * s, 0.002 * s) + 0.0002 * rng.rand(H, W)
+            render_depth(0.005 * speed * s, 0.002 * speed * s)
+            + 0.0002 * rng.rand(H, W)
             for s in range(L)
         ]
         * B
@@ -56,8 +64,8 @@ def synthetic_sequence(B: int, L: int, H: int, W: int, seed: int = 0):
     poses = []
     for s in range(L):
         P = np.eye(4, dtype=np.float32)
-        P[0, 3] = 0.005 * s
-        P[2, 3] = 0.002 * s
+        P[0, 3] = 0.005 * speed * s
+        P[2, 3] = 0.002 * speed * s
         poses.append(P)
     poses = np.tile(np.stack(poses), (B, 1, 1, 1))
     return rgb, depths, intrinsics, poses

@@ -78,6 +78,29 @@ def run():
     timed("PointFusion(gradicp, reuse lookahead) 320x240 frames/s", gicp_r,
           frames, B, L, baseline=0.323)
 
+    # config 4: large map / long sequence (BASELINE.md #4 analogue — no
+    # ScanNet data in this environment, so the same procedural scene with a
+    # 4x-speed camera: the map reaches 1.13M points by frame 60, matching a
+    # reference run to 0.003%). The later segments exceed 3*H*W so the
+    # 'windowed' association path is exercised at scale. Baseline: reference
+    # CPU 0.1506 fps (MEASURED_BASELINE.json "large_map_baseline").
+    from gradslam_tpu.datasets import synthetic_sequence
+
+    B, L, H, W = 1, 60, 480, 640
+    rgb, depths, intrinsics, poses = synthetic_sequence(B, L, H, W, speed=4.0)
+    frames = RGBDImages(
+        jnp.asarray(rgb), jnp.asarray(depths), jnp.asarray(intrinsics),
+        jnp.asarray(poses),
+    )
+    # measured sizes at frames 19/39/59: 595,855 / 869,849 / 1,125,417
+    # (+5% headroom per segment, rounded up to multiples of 1024)
+    big = PointFusion(
+        odom="gt",
+        map_capacity=[(20, 626_688), (20, 915_456), (20, 1_182_720)],
+    )
+    timed("PointFusion(gt) 640x480 large-map (1.13M pts, 60 frames) frames/s",
+          big, frames, B, L, iters=2, baseline=0.1506)
+
     # config 5: batched differentiable SLAM (grad wrt depth + intrinsics)
     B, L, H, W = 8, 4, 120, 160
     rgb, depths, intrinsics, poses = _synthetic_frames_arrays(B, L, H, W)

@@ -47,16 +47,68 @@ def measure(B=1, L=30, H=480, W=640, warmup_frames=2):
     return fps, dt, [p.shape[0] for p in pc.points_list]
 
 
+def measure_large_map(B=1, L=60, H=480, W=640, speed=4.0, warmup_frames=2):
+    """BASELINE.md config #4 analogue: long sequence, fast camera — the map
+    grows into the millions of points (reference entry point:
+    /root/reference/examples/pointfusion_scannet.py:39-69; no ScanNet data in
+    this environment, so the same procedural scene at 4x camera speed)."""
+    from gradslam.slam.pointfusion import PointFusion
+    from gradslam.structures.rgbdimages import RGBDImages
+
+    from gradslam_tpu.datasets import synthetic_sequence
+
+    rgb, depths, intrinsics, poses = synthetic_sequence(B, L, H, W, speed=speed)
+    frames = RGBDImages(
+        torch.from_numpy(rgb),
+        torch.from_numpy(depths),
+        torch.from_numpy(intrinsics),
+        torch.from_numpy(poses),
+        channels_first=False,
+    )
+    slam = PointFusion(odom="gt")
+    with torch.no_grad():
+        slam(frames[:, :warmup_frames])
+        t0 = time.perf_counter()
+        pc, out_poses = slam(frames)
+        dt = time.perf_counter() - t0
+    fps = (B * L) / dt
+    return fps, dt, [p.shape[0] for p in pc.points_list]
+
+
 if __name__ == "__main__":
-    fps, dt, counts = measure()
-    result = {
-        "config": "PointFusion + GT odometry, 30 frames synthetic 640x480, batch 1",
-        "hardware": "CPU (reference torch, chamferdist/kornia shimmed)",
-        "reference_fps": fps,
-        "wall_s": dt,
-        "map_counts": counts,
-    }
+    # Merge into the existing MEASURED_BASELINE.json (other entries — e.g.
+    # tracked_baselines — are measured by other invocations/scripts).
     out = os.path.join(os.path.dirname(__file__), "..", "MEASURED_BASELINE.json")
+    result = {}
+    if os.path.exists(out):
+        with open(out) as f:
+            result = json.load(f)
+
+    if "--large-map" in sys.argv:
+        lfps, ldt, lcounts = measure_large_map()
+        result["large_map_baseline"] = {
+            "config": (
+                "PointFusion + GT odometry, 60 frames synthetic 640x480 at "
+                "4x camera speed (large-map config, BASELINE.md #4)"
+            ),
+            "reference_fps": lfps,
+            "wall_s": ldt,
+            "map_counts": lcounts,
+        }
+    else:
+        fps, dt, counts = measure()
+        result.update(
+            {
+                "config": (
+                    "PointFusion + GT odometry, 30 frames synthetic 640x480, "
+                    "batch 1"
+                ),
+                "hardware": "CPU (reference torch, chamferdist/kornia shimmed)",
+                "reference_fps": fps,
+                "wall_s": dt,
+                "map_counts": counts,
+            }
+        )
     with open(out, "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result))
