@@ -1,0 +1,122 @@
+r"""Online (streaming) SLAM: frame-at-a-time ``step()`` with checkpoint/resume
+and map/trajectory export.
+
+The batch examples (``pointfusion.py`` etc.) run the scanned ``forward`` over a
+whole clip at once. This example drives the incremental API the way an online
+system would (reference documents the same usage at slam/icpslam.py:50-62 but
+ships no runnable example of it):
+
+- one jit-compiled ``step`` per incoming frame (compiled once, reused);
+- the SLAM state (map buffers + trajectory) is an explicit pytree, saved every
+  ``--checkpoint-every`` frames (``gradslam_tpu.utils.save_state``);
+- ``--resume`` restarts from the latest checkpoint and continues mid-sequence;
+- the final map is written as a PLY (``Pointclouds.save_ply`` — no viz deps)
+  and the trajectory in TUM format (``save_trajectory_tum``), ready for
+  ``scripts/evaluate_traj.py``.
+
+Example:
+    python examples/online_slam.py --dataset_path /data/TUM --odometry gradicp \
+        --seqlen 20 --checkpoint-every 5 --out /tmp/run1
+"""
+
+import argparse
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from gradslam_tpu import ICPSLAM, PointFusion, RGBDImages
+from gradslam_tpu.datasets import TUM
+from gradslam_tpu.utils.checkpoint import load_state, save_state
+from gradslam_tpu.utils.trajectory_io import save_trajectory_tum
+
+parser = argparse.ArgumentParser()
+parser.add_argument("--dataset_path", type=str, required=True)
+parser.add_argument("--sequences", type=str, default=None)
+parser.add_argument(
+    "--pipeline", type=str, default="pointfusion", choices=["pointfusion", "icpslam"]
+)
+parser.add_argument(
+    "--odometry", type=str, default="gradicp", choices=["gt", "icp", "gradicp"]
+)
+parser.add_argument("--seqlen", type=int, default=10)
+parser.add_argument("--height", type=int, default=120)
+parser.add_argument("--width", type=int, default=160)
+parser.add_argument("--map_capacity", type=int, default=None)
+parser.add_argument("--checkpoint-every", type=int, default=0,
+                    help="save SLAM state every N frames (0 = never)")
+parser.add_argument("--resume", action="store_true",
+                    help="continue from the checkpoint in --out")
+parser.add_argument("--out", type=str, default="/tmp/online_slam",
+                    help="output directory (checkpoint, map.ply, trajectory.txt)")
+args = parser.parse_args()
+
+
+def main():
+    os.makedirs(args.out, exist_ok=True)
+    ckpt_path = os.path.join(args.out, "state.npz")
+
+    dataset = TUM(
+        args.dataset_path, sequences=args.sequences, seqlen=args.seqlen,
+        height=args.height, width=args.width,
+    )
+    colors, depths, intrinsics, poses, *_ = dataset[0]
+    colors = jnp.asarray(colors)[None]  # (1, L, H, W, 3)
+    depths = jnp.asarray(depths)[None]
+    intrinsics = jnp.asarray(intrinsics)[None, None]  # (1, 1, 4, 4)
+    gt_poses = jnp.asarray(poses)[None]  # (1, L, 4, 4)
+    L = colors.shape[1]
+
+    cls = PointFusion if args.pipeline == "pointfusion" else ICPSLAM
+    capacity = args.map_capacity or L * args.height * args.width
+    slam = cls(odom=args.odometry, map_capacity=capacity)
+
+    start = 0
+    traj = []
+    if args.resume and os.path.exists(ckpt_path):
+        pc, est = load_state(ckpt_path)
+        traj = [jnp.asarray(p) for p in np.asarray(est)]
+        start = len(traj)
+        print(f"resumed from {ckpt_path} at frame {start} "
+              f"({int(pc.num_points[0])} map points)")
+    else:
+        pc = slam.empty_map(1, capacity)
+
+    def frame(s, pose):
+        return RGBDImages(
+            colors[:, s:s + 1], depths[:, s:s + 1], intrinsics, pose
+        )
+
+    prev = None
+    if start > 0:
+        prev = frame(start - 1, traj[-1][None, None])
+
+    for s in range(start, L):
+        if args.odometry == "gt" or prev is None:
+            live = frame(s, gt_poses[:, s:s + 1])
+            pc, new_pose = slam.step(pc, live)
+        else:
+            live = frame(s, None)
+            pc, new_pose = slam.step(pc, live, prev)
+        traj.append(new_pose[0, 0])
+        prev = frame(s, new_pose)
+        print(f"frame {s}: {int(pc.num_points[0])} map points")
+        if args.checkpoint_every and (s + 1) % args.checkpoint_every == 0:
+            save_state(ckpt_path, pc, jnp.stack(traj))
+            print(f"  checkpointed -> {ckpt_path}")
+
+    est = jnp.stack(traj)  # (L, 4, 4)
+    save_state(ckpt_path, pc, est)
+    ply_path = os.path.join(args.out, "map.ply")
+    pc.save_ply(ply_path, index=0)
+    traj_path = os.path.join(args.out, "trajectory.txt")
+    save_trajectory_tum(traj_path, np.asarray(est))
+    gt_path = os.path.join(args.out, "groundtruth.txt")
+    save_trajectory_tum(gt_path, np.asarray(gt_poses[0]))
+    print(f"map: {int(pc.num_points[0])} points -> {ply_path}")
+    print(f"trajectory ({L} poses) -> {traj_path}")
+    print(f"evaluate: python scripts/evaluate_traj.py {gt_path} {traj_path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -80,10 +80,15 @@ def ate_rmse(est_poses, gt_poses, align: bool = True) -> jnp.ndarray:
     return jnp.sqrt(jnp.mean(err**2))
 
 
-def rpe(est_poses, gt_poses, delta: int = 1) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def rpe(
+    est_poses, gt_poses, delta: int = 1, reduce: bool = True
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
     r"""Relative pose error over frame pairs ``(i, i + delta)``.
 
-    Returns ``(trans_rmse, rot_rmse_rad)``.
+    Returns ``(trans_rmse, rot_rmse_rad)``; with ``reduce=False``, the
+    per-pair error arrays ``(trans (L - delta,), rot_rad (L - delta,))``
+    instead (the TUM benchmark's evaluate_rpe.py reports mean/median/max
+    over these).
     """
     est_poses = jnp.asarray(est_poses)
     gt_poses = jnp.asarray(gt_poses)
@@ -107,4 +112,6 @@ def rpe(est_poses, gt_poses, delta: int = 1) -> Tuple[jnp.ndarray, jnp.ndarray]:
     trans = jnp.linalg.norm(e[:, :3, 3], axis=-1)
     cos_angle = jnp.clip((jnp.trace(e[:, :3, :3], axis1=1, axis2=2) - 1.0) / 2.0, -1.0, 1.0)
     rot = jnp.arccos(cos_angle)
+    if not reduce:
+        return trans, rot
     return jnp.sqrt(jnp.mean(trans**2)), jnp.sqrt(jnp.mean(rot**2))

@@ -1,3 +1,4 @@
+from .io import load_ply, save_ply
 from .pointclouds import Pointclouds
 from .rgbdimages import RGBDImages
 from .structutils import (
@@ -17,4 +18,6 @@ __all__ = [
     "pointclouds_from_rgbdimages",
     "list_to_padded",
     "padded_to_list",
+    "save_ply",
+    "load_ply",
 ]

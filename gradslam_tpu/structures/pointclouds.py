@@ -503,6 +503,21 @@ class Pointclouds:
     # ------------------------------------------------------------------ #
     # Export / viz (host-side, optional deps)
     # ------------------------------------------------------------------ #
+    def save_ply(self, path: str, index: int = 0, binary: bool = True) -> None:
+        r"""Write batch element ``index`` to a PLY file (points + normals +
+        colors when present) with no visualization dependency — see
+        :mod:`gradslam_tpu.structures.io`. The reference can only persist
+        maps through open3d (pointclouds.py:1239)."""
+        from .io import save_ply as _save_ply
+
+        _save_ply(
+            path,
+            self.points_list[index],
+            normals=None if self.normals is None else self.normals_list[index],
+            colors=None if self.colors is None else self.colors_list[index],
+            binary=binary,
+        )
+
     def open3d(self, index: int):
         """Export batch element ``index`` as an ``open3d.geometry.PointCloud``
         (parity with reference pointclouds.py:1239). Requires open3d."""

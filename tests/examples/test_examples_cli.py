@@ -66,3 +66,53 @@ class TestExampleCLIs:
         )
         assert r.returncode == 0, r.stderr[-2000:]
         assert "ATE-RMSE" in r.stdout
+
+
+class TestOnlineSlamCLI:
+    def test_stream_checkpoint_resume_and_evaluate(self, fake_tum, tmp_path):
+        out = str(tmp_path / "run")
+        common = [
+            "--dataset_path", fake_tum, "--odometry", "gt",
+            "--height", "24", "--width", "32", "--map_capacity", "4000",
+            "--out", out,
+        ]
+        # Interrupted run: 2 frames, checkpointed.
+        r = run_example(
+            "online_slam.py", *common, "--seqlen", "2", "--checkpoint-every", "1",
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "checkpointed" in r.stdout
+        assert os.path.exists(os.path.join(out, "state.npz"))
+
+        # Resume and continue to 4 frames; exports map + trajectories.
+        r = run_example(
+            "online_slam.py", *common, "--seqlen", "4", "--resume",
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "resumed from" in r.stdout
+        assert "frame 2:" in r.stdout and "frame 3:" in r.stdout
+        assert os.path.exists(os.path.join(out, "map.ply"))
+        traj = os.path.join(out, "trajectory.txt")
+        gt = os.path.join(out, "groundtruth.txt")
+        assert os.path.exists(traj) and os.path.exists(gt)
+
+        # The exported map is a loadable PLY with points.
+        from gradslam_tpu.structures import load_ply
+
+        cloud = load_ply(os.path.join(out, "map.ply"))
+        assert cloud["points"].shape[0] > 0
+
+        # evaluate_traj CLI: gt-odometry trajectory == groundtruth -> ATE ~ 0.
+        env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "scripts", "evaluate_traj.py"),
+             gt, traj, "--max-difference", "0.5", "--json"],
+            capture_output=True, text=True, timeout=600, cwd=REPO, env=env,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        import json
+
+        stats = json.loads(r.stdout.strip().splitlines()[-1])
+        assert stats["pairs"] == 4
+        assert stats["ate_rmse_m"] < 1e-5
+        assert stats["rpe_trans_rmse_m"] < 1e-5

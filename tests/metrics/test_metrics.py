@@ -65,6 +65,25 @@ class TestRPE:
         with pytest.raises(ValueError):
             rpe(traj, traj, delta=5)
 
+    def test_reduce_false_returns_per_pair_errors(self):
+        traj = make_trajectory()
+        drift = jnp.stack(
+            [
+                jnp.asarray(np.asarray(se3_exp(jnp.asarray([0.01 * i, 0, 0, 0, 0, 0]))))
+                @ traj[i]
+                for i in range(10)
+            ]
+        )
+        trans, rot = rpe(drift, traj, reduce=False)
+        assert trans.shape == (9,) and rot.shape == (9,)
+        t_rmse, r_rmse = rpe(drift, traj)
+        assert float(t_rmse) == pytest.approx(
+            float(jnp.sqrt(jnp.mean(trans**2))), rel=1e-6
+        )
+        assert float(r_rmse) == pytest.approx(
+            float(jnp.sqrt(jnp.mean(rot**2))), rel=1e-5
+        )
+
 
 class TestChamfer:
     def test_zero_for_identical(self):
