@@ -31,7 +31,7 @@ from ..odometry.icp import ICPOdometryProvider
 from ..odometry.icputils import downsample_pointclouds, downsample_rgbdimages
 from ..structures.pointclouds import Pointclouds
 from ..structures.rgbdimages import RGBDImages
-from .fusionutils import find_active_map_points, update_map_aggregate
+from .fusionutils import find_active_map_points, prune_map, update_map_aggregate
 
 __all__ = ["ICPSLAM"]
 
@@ -55,6 +55,13 @@ class ICPSLAM:
             the final capacity throughout (provided no segment overflows).
         icp_capacity: fixed capacity of the downsampled ICP target buffer;
             default ``ceil(H/ds) * ceil(W/ds) * 2``.
+        prune_every / prune_min_confidence: if ``prune_every > 0``, every
+            ``prune_every``-th mapped frame ends with
+            :func:`~gradslam_tpu.slam.fusionutils.prune_map` — unstable
+            points (confidence below ``prune_min_confidence``) are removed
+            and capacity is reclaimed (Keller et al.'s map-maintenance
+            stage; the reference never implemented it). Requires a pipeline
+            whose map carries confidence counters (PointFusion).
         use_jit: jit-compile forward/step (disable for debugging).
         remat: apply ``jax.checkpoint`` to the scan body — end-to-end
             gradients over long sequences then rematerialise per-frame
@@ -78,6 +85,8 @@ class ICPSLAM:
         map_capacity: Optional[int] = None,
         icp_capacity: Optional[int] = None,
         lookahead_assoc: str = "fresh",
+        prune_every: int = 0,
+        prune_min_confidence: float = 1.0,
         use_jit: bool = True,
         remat: bool = False,
     ):
@@ -92,6 +101,15 @@ class ICPSLAM:
         self.map_capacity = map_capacity
         self.icp_capacity = icp_capacity
         self.remat = remat
+        if prune_every < 0:
+            raise ValueError(f"prune_every must be >= 0. Got {prune_every}.")
+        if prune_every and not self.has_features:
+            raise ValueError(
+                "prune_every requires a pipeline whose map carries confidence "
+                "counters (PointFusion); ICPSLAM's aggregate map has none."
+            )
+        self.prune_every = int(prune_every)
+        self.prune_min_confidence = prune_min_confidence
         if odom == "icp":
             self.odomprov = ICPOdometryProvider(
                 numiters, damp, dist_thresh, lookahead_assoc
@@ -211,6 +229,19 @@ class ICPSLAM:
         Overridden by PointFusion."""
         return update_map_aggregate(pointclouds, live_frame)
 
+    def _maybe_prune(self, map_pc: Pointclouds, frame_idx) -> Pointclouds:
+        """Periodic map maintenance: prune unstable points every
+        ``prune_every``-th mapped frame (no-op when disabled)."""
+        if not self.prune_every:
+            return map_pc
+        do = (frame_idx + 1) % self.prune_every == 0
+        return jax.lax.cond(
+            do,
+            lambda pc: prune_map(pc, self.prune_min_confidence),
+            lambda pc: pc,
+            map_pc,
+        )
+
     def _localize(
         self,
         pointclouds: Pointclouds,
@@ -255,14 +286,15 @@ class ICPSLAM:
             poses_l = jnp.moveaxis(frames.poses, 1, 0)  # (L, B, 4, 4)
 
             def body(map_pc, xs):
-                rgb, depth, pose = xs
+                rgb, depth, pose, idx = xs
                 live = RGBDImages(
                     rgb[:, None], depth[:, None], intrinsics, pose[:, None]
                 )
-                return self._map(map_pc, live), pose
+                return self._maybe_prune(self._map(map_pc, live), idx), pose
 
             if self.remat:
                 body = jax.checkpoint(body)
+            frame_ids = jnp.arange(L, dtype=jnp.int32)
             chunks = []
             start = 0
             for n, cap_seg in schedule:
@@ -274,6 +306,7 @@ class ICPSLAM:
                         rgb_l[start:start + n],
                         depth_l[start:start + n],
                         poses_l[start:start + n],
+                        frame_ids[start:start + n],
                     ),
                 )
                 chunks.append(poses_out)
@@ -290,14 +323,14 @@ class ICPSLAM:
                 jnp.eye(4, dtype=frames.depth_image.dtype), (B, 4, 4)
             )
         live0 = frames[:, 0].with_poses(pose0[:, None])
-        map_pc = self._map(map_pc, live0)
+        map_pc = self._maybe_prune(self._map(map_pc, live0), 0)
 
         rgb_l = jnp.moveaxis(frames.rgb_image[:, 1:], 1, 0)
         depth_l = jnp.moveaxis(frames.depth_image[:, 1:], 1, 0)
 
         def body(carry, xs):
             map_pc, prev_pose = carry
-            rgb, depth = xs
+            rgb, depth, idx = xs
             prev_proxy = RGBDImages(
                 rgb[:, None], depth[:, None], intrinsics, prev_pose[:, None]
             )
@@ -306,11 +339,12 @@ class ICPSLAM:
             )
             poses = self._localize(map_pc, live, prev_proxy)  # (B, 1, 4, 4)
             live = live.with_poses(poses)
-            map_pc = self._map(map_pc, live)
+            map_pc = self._maybe_prune(self._map(map_pc, live), idx)
             return (map_pc, poses[:, 0]), poses[:, 0]
 
         if self.remat:
             body = jax.checkpoint(body)
+        frame_ids = jnp.arange(1, L, dtype=jnp.int32)
         chunks = []
         start = 0
         prev_pose = pose0
@@ -322,7 +356,11 @@ class ICPSLAM:
             (map_pc, prev_pose), poses_seg = jax.lax.scan(
                 body,
                 (map_pc, prev_pose),
-                (rgb_l[start:start + n_scan], depth_l[start:start + n_scan]),
+                (
+                    rgb_l[start:start + n_scan],
+                    depth_l[start:start + n_scan],
+                    frame_ids[start:start + n_scan],
+                ),
             )
             chunks.append(poses_seg)
             start += n_scan

@@ -46,6 +46,8 @@ class PointFusion(ICPSLAM):
         active_capacity: Optional[int] = None,
         association: str = "auto",
         merge: str = "auto",
+        prune_every: int = 0,
+        prune_min_confidence: float = 1.0,
         use_jit: bool = True,
         remat: bool = False,
     ):
@@ -62,6 +64,8 @@ class PointFusion(ICPSLAM):
             map_capacity=map_capacity,
             icp_capacity=icp_capacity,
             lookahead_assoc=lookahead_assoc,
+            prune_every=prune_every,
+            prune_min_confidence=prune_min_confidence,
             use_jit=use_jit,
             remat=remat,
         )

@@ -105,6 +105,56 @@ class TestPointFusionGt:
         assert float(jnp.abs(g).max()) > 0
 
 
+class TestPruneInPipeline:
+    """Periodic in-scan map maintenance (prune_every)."""
+
+    def test_matches_manual_step_plus_prune(self, msrd):
+        from gradslam_tpu.slam import prune_map
+
+        frames = make_frames(msrd)
+        cap = 3 * 120 * 160
+        thr = 1.5
+        pruned = PointFusion(
+            odom="gt", map_capacity=cap, prune_every=2, prune_min_confidence=thr
+        )
+        pc_auto, _ = pruned(frames)
+
+        plain = PointFusion(odom="gt", map_capacity=cap)
+        pc = plain.empty_map(2, cap)
+        for s in range(3):
+            pc, _ = plain.step(pc, frames[:, s])
+            if (s + 1) % 2 == 0:
+                pc = prune_map(pc, thr)
+        np.testing.assert_array_equal(
+            np.asarray(pc_auto.num_points), np.asarray(pc.num_points)
+        )
+        for b in range(2):
+            np.testing.assert_allclose(
+                pc_auto.points_list[b], pc.points_list[b], atol=1e-6
+            )
+
+    def test_prune_shrinks_map(self, msrd):
+        frames = make_frames(msrd)
+        cap = 3 * 120 * 160
+        plain = PointFusion(odom="gt", map_capacity=cap)
+        # prune_every=1 with a threshold above the per-frame alpha would wipe
+        # the map every frame (every new point starts below it); pruning every
+        # 2nd frame keeps twice-observed (stable) points.
+        pruned = PointFusion(
+            odom="gt", map_capacity=cap, prune_every=2, prune_min_confidence=1.5
+        )
+        n_plain = np.asarray(plain(frames)[0].num_points)
+        n_pruned = np.asarray(pruned(frames)[0].num_points)
+        assert (n_pruned < n_plain).all()
+        assert (n_pruned > 0).all()
+
+    def test_icpslam_rejects_prune(self):
+        with pytest.raises(ValueError):
+            ICPSLAM(odom="gt", prune_every=2)
+        with pytest.raises(ValueError):
+            PointFusion(odom="gt", prune_every=-1)
+
+
 class TestOdometrySLAM:
     """SLAM with ICP/GradICP odometry on downsampled golden frames."""
 
