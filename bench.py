@@ -27,7 +27,10 @@ def main():
     from __graft_entry__ import _synthetic_frames_arrays
     from gradslam_tpu import PointFusion, RGBDImages
 
-    B, L, H, W = 1, 30, 480, 640
+    # BENCH_TINY=1 shrinks shapes so CI can smoke-test the full script
+    # (including the JSON contract the driver parses) on CPU in seconds.
+    tiny = bool(int(os.environ.get("BENCH_TINY", "0")))
+    B, L, H, W = (1, 4, 48, 64) if tiny else (1, 30, 480, 640)
     rgb, depths, intrinsics, poses = _synthetic_frames_arrays(B, L, H, W)
     frames = RGBDImages(
         jnp.asarray(rgb), jnp.asarray(depths), jnp.asarray(intrinsics),
@@ -41,7 +44,10 @@ def main():
     # identical to a fixed-capacity run (tests/slam TestCapacitySchedule).
     slam = PointFusion(
         odom="gt",
-        map_capacity=[(10, 368_640), (10, 450_560), (10, 540_672)],
+        map_capacity=(
+            L * H * W if tiny
+            else [(10, 368_640), (10, 450_560), (10, 540_672)]
+        ),
     )
 
     # One outer jit around the whole run: returns the full map + trajectory

@@ -43,6 +43,9 @@ parser.add_argument("--seqlen", type=int, default=10)
 parser.add_argument("--height", type=int, default=120)
 parser.add_argument("--width", type=int, default=160)
 parser.add_argument("--map_capacity", type=int, default=None)
+parser.add_argument("--prune-every", type=int, default=0,
+                    help="prune unstable map points every N frames (0 = never)")
+parser.add_argument("--prune-min-confidence", type=float, default=1.0)
 parser.add_argument("--checkpoint-every", type=int, default=0,
                     help="save SLAM state every N frames (0 = never)")
 parser.add_argument("--resume", action="store_true",
@@ -53,6 +56,9 @@ args = parser.parse_args()
 
 
 def main():
+    if args.prune_every and args.pipeline != "pointfusion":
+        parser.error("--prune-every requires --pipeline pointfusion "
+                     "(the aggregate map has no confidence channel)")
     os.makedirs(args.out, exist_ok=True)
     ckpt_path = os.path.join(args.out, "state.npz")
 
@@ -100,6 +106,10 @@ def main():
             pc, new_pose = slam.step(pc, live, prev)
         traj.append(new_pose[0, 0])
         prev = frame(s, new_pose)
+        if args.prune_every and (s + 1) % args.prune_every == 0:
+            from gradslam_tpu.slam import prune_map
+
+            pc = prune_map(pc, args.prune_min_confidence)
         print(f"frame {s}: {int(pc.num_points[0])} map points")
         if args.checkpoint_every and (s + 1) % args.checkpoint_every == 0:
             save_state(ckpt_path, pc, jnp.stack(traj))
