@@ -16,7 +16,15 @@ from __future__ import annotations
 import jax.numpy as jnp
 from ..utils.precision import einsum_hp, matmul_hp
 
+# Reference parity: the reference duplicates homogenize/unhomogenize in this
+# module (geometryutils.py, SURVEY §2.1 "Duplicated homogenize/unhomogenize");
+# here they are canonical in projutils and re-exported so both import paths
+# work.
+from .projutils import homogenize_points, unhomogenize_points  # noqa: F401
+
 __all__ = [
+    "homogenize_points",
+    "unhomogenize_points",
     "create_meshgrid",
     "compose_transformations",
     "inverse_transformation",

@@ -31,6 +31,8 @@ import jax.numpy as jnp
 from ..geometry.geometryutils import transform_pointcloud
 from ..geometry.se3utils import se3_exp
 from ..ops import nn_points_auto
+from ..ops import knn_points  # noqa: F401  (reference parity: the reference
+# re-exports chamferdist's knn_points from this namespace, icputils.py:3)
 from ..structures.pointclouds import Pointclouds, compact_masked
 from ..structures.rgbdimages import RGBDImages
 from ..utils.precision import matmul_hp

@@ -128,21 +128,141 @@ def nn_points(
     return fn(src, tgt, invalid)
 
 
-def knn_points(src: jnp.ndarray, tgt: jnp.ndarray, tgt_mask=None):
-    r"""chamferdist-compatible alias: returns an object with ``.dists`` and
-    ``.idx`` of shape ``(B, N, 1)`` (parity with the reference call site
-    icputils.py:200)."""
+@functools.partial(jax.jit, static_argnames=("K", "tile_size"))
+def _knn_k_single(
+    src: jnp.ndarray,  # (N, 3)
+    tgt: jnp.ndarray,  # (M, 3)
+    tgt_invalid: jnp.ndarray,  # (M,) float32: 0 valid, +inf invalid
+    K: int,
+    tile_size: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Streaming K-nearest-neighbours: target tiles through a scan carrying
+    the running (K best dists, K best indices); each step merges the carry
+    with the tile's distances via ``lax.top_k`` (ties go to the smaller
+    global index because the carry — earlier tiles — concatenates first and
+    top_k is stable)."""
+    N = src.shape[0]
+    M = tgt.shape[0]
+    Mp = _round_up(max(M, 1), tile_size)
+    pad = Mp - M
+    tgt = jnp.pad(tgt, ((0, pad), (0, 0)))
+    tgt_invalid = jnp.pad(tgt_invalid, (0, pad), constant_values=_INF)
+    tgt_tiles = tgt.reshape(Mp // tile_size, tile_size, 3)
+    inv_tiles = tgt_invalid.reshape(Mp // tile_size, tile_size)
+    s2 = jnp.sum(src * src, axis=-1)
 
-    class _KNNResult:
-        __slots__ = ("dists", "idx")
+    def body(carry, xs):
+        best_d, best_i = carry  # (N, K) each
+        tile, inv, tile_idx = xs
+        t2 = jnp.sum(tile * tile, axis=-1)
+        cross = jax.lax.dot_general(
+            src, tile, dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=HIGHEST,
+        )
+        d2 = s2[:, None] + t2[None, :] - 2.0 * cross + inv[None, :]
+        idx = (
+            jnp.arange(tile.shape[0], dtype=jnp.int32)[None, :]
+            + tile_idx * tile_size
+        )
+        cand_d = jnp.concatenate([best_d, d2], axis=1)  # (N, K + tile)
+        cand_i = jnp.concatenate(
+            [best_i, jnp.broadcast_to(idx, d2.shape)], axis=1
+        )
+        top_negd, pos = jax.lax.top_k(-cand_d, K)
+        return (-top_negd, jnp.take_along_axis(cand_i, pos, axis=1)), None
 
-        def __init__(self, dists, idx):
-            self.dists = dists
-            self.idx = idx
+    init = (
+        jnp.full((N, K), _INF, dtype=src.dtype),
+        jnp.zeros((N, K), dtype=jnp.int32),
+    )
+    tile_ids = jnp.arange(Mp // tile_size, dtype=jnp.int32)
+    (best_d, best_i), _ = jax.lax.scan(body, init, (tgt_tiles, inv_tiles, tile_ids))
+    return jnp.maximum(best_d, 0.0), best_i
 
+
+class _KNNResult:
+    """chamferdist/pytorch3d-style result: ``.dists``/``.idx`` ``(B, N, K)``,
+    ``.knn`` gathered neighbour points ``(B, N, K, 3)`` when requested.
+    Iterable/indexable like the pytorch3d namedtuple."""
+
+    __slots__ = ("dists", "idx", "knn")
+
+    def __init__(self, dists, idx, knn=None):
+        self.dists = dists
+        self.idx = idx
+        self.knn = knn
+
+    def __iter__(self):
+        return iter((self.dists, self.idx, self.knn))
+
+    def __getitem__(self, i):
+        return (self.dists, self.idx, self.knn)[i]
+
+
+def knn_points(
+    src: jnp.ndarray,
+    tgt: jnp.ndarray,
+    tgt_mask: Optional[jnp.ndarray] = None,
+    lengths1: Optional[jnp.ndarray] = None,
+    lengths2: Optional[jnp.ndarray] = None,
+    K: int = 1,
+    return_nn: bool = False,
+    tile_size: int = 1024,
+):
+    r"""chamferdist-compatible K-NN (the native dep the reference installs for
+    its hot kernel — ``from chamferdist.chamfer import knn_points``,
+    icputils.py:3). Returns ``.dists`` / ``.idx`` of shape ``(B, N, K)``
+    (squared distances, ascending; ties to the smallest target index) and,
+    with ``return_nn=True``, ``.knn`` gathered neighbours ``(B, N, K, 3)``.
+
+    ``lengths1/lengths2``: chamferdist-style valid counts per batch element —
+    rows past ``lengths1`` are zeroed in the outputs; targets past
+    ``lengths2`` can never be neighbours. ``tgt_mask`` is the general
+    per-point alternative to ``lengths2``.
+    """
+    src = jnp.asarray(src)
+    tgt = jnp.asarray(tgt)
+    if K < 1:
+        raise ValueError(f"K must be >= 1. Got {K}.")
+    if K > tgt.shape[-2]:
+        raise ValueError(
+            f"K ({K}) cannot exceed the number of target points "
+            f"({tgt.shape[-2]})."
+        )
     squeeze = src.ndim == 2
     if squeeze:
         src, tgt = src[None], tgt[None]
-        tgt_mask = None if tgt_mask is None else tgt_mask[None]
-    d, i = nn_points(src, tgt, tgt_mask)
-    return _KNNResult(d[..., None], i[..., None])
+        tgt_mask = None if tgt_mask is None else jnp.asarray(tgt_mask)[None]
+    B, M = tgt.shape[0], tgt.shape[1]
+    if lengths2 is not None:
+        range_mask = (
+            jnp.arange(M, dtype=jnp.int32)[None, :]
+            < jnp.asarray(lengths2, dtype=jnp.int32)[:, None]
+        )
+        tgt_mask = range_mask if tgt_mask is None else (tgt_mask & range_mask)
+
+    if K == 1:
+        d, i = nn_points(src, tgt, tgt_mask, tile_size=tile_size)
+        d, i = d[..., None], i[..., None]
+    else:
+        if tgt_mask is None:
+            invalid = jnp.zeros(tgt.shape[:-1], dtype=src.dtype)
+        else:
+            invalid = jnp.where(jnp.asarray(tgt_mask), 0.0, _INF).astype(src.dtype)
+        fn = functools.partial(_knn_k_single, K=K, tile_size=tile_size)
+        d, i = jax.vmap(fn)(src, tgt, invalid)
+
+    if lengths1 is not None:
+        row_ok = (
+            jnp.arange(src.shape[1], dtype=jnp.int32)[None, :]
+            < jnp.asarray(lengths1, dtype=jnp.int32)[:, None]
+        )[..., None]
+        d = jnp.where(row_ok, d, 0.0)
+        i = jnp.where(row_ok, i, 0)
+    nn = None
+    if return_nn:
+        nn = jnp.take_along_axis(tgt[:, :, None, :], i[..., None], axis=1)
+    if squeeze:
+        d, i = d[0], i[0]
+        nn = None if nn is None else nn[0]
+    return _KNNResult(d, i, nn)

@@ -34,8 +34,12 @@ import jax.numpy as jnp
 from ..geometry.geometryutils import inverse_transformation
 from ..geometry.projutils import project_points
 from ..geometry.geometryutils import transform_pointcloud
+# Reference parity: these names are importable from the reference's
+# fusionutils namespace (fusionutils.py:7-8).
+from ..geometry.geometryutils import create_meshgrid  # noqa: F401
 from ..structures.pointclouds import Pointclouds
 from ..structures.rgbdimages import RGBDImages
+from ..structures.utils import pointclouds_from_rgbdimages  # noqa: F401
 
 __all__ = ["update_map_fusion", "update_map_aggregate", "prune_map"]
 

@@ -76,3 +76,76 @@ class TestNNPoints:
             nn_points(jnp.zeros((10, 2)), jnp.zeros((10, 3)))
         with pytest.raises(ValueError):
             nn_points(jnp.zeros((10, 3)), jnp.zeros((2, 10, 3)))
+
+
+class TestKNNPointsK:
+    """chamferdist-compatible K-NN (K > 1 via the streaming top-K path)."""
+
+    def brute_topk(self, src, tgt, K):
+        d = ((src[:, None, :] - tgt[None, :, :]) ** 2).sum(-1)
+        idx = np.argsort(d, axis=1, kind="stable")[:, :K]
+        return np.take_along_axis(d, idx, axis=1), idx
+
+    def test_matches_brute_force_topk(self):
+        rng = np.random.RandomState(1)
+        src = rng.randn(83, 3).astype(np.float32)
+        tgt = rng.randn(301, 3).astype(np.float32)
+        K = 5
+        res = knn_points(jnp.asarray(src), jnp.asarray(tgt), K=K, tile_size=64)
+        bd, bi = self.brute_topk(src, tgt, K)
+        np.testing.assert_allclose(np.asarray(res.dists), bd, atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(res.idx), bi)
+
+    def test_batched_with_lengths_and_nn(self):
+        rng = np.random.RandomState(2)
+        src = rng.randn(2, 40, 3).astype(np.float32)
+        tgt = rng.randn(2, 100, 3).astype(np.float32)
+        lengths1 = np.asarray([40, 25])
+        lengths2 = np.asarray([100, 60])
+        K = 3
+        res = knn_points(
+            jnp.asarray(src), jnp.asarray(tgt),
+            lengths1=jnp.asarray(lengths1), lengths2=jnp.asarray(lengths2),
+            K=K, return_nn=True, tile_size=32,
+        )
+        assert res.dists.shape == (2, 40, K)
+        assert res.knn.shape == (2, 40, K, 3)
+        for b in range(2):
+            bd, bi = self.brute_topk(src[b], tgt[b, : lengths2[b]], K)
+            n1 = lengths1[b]
+            np.testing.assert_allclose(
+                np.asarray(res.dists[b, :n1]), bd[:n1], atol=1e-4
+            )
+            np.testing.assert_array_equal(np.asarray(res.idx[b, :n1]), bi[:n1])
+            # rows past lengths1 are zeroed (chamferdist convention)
+            np.testing.assert_array_equal(np.asarray(res.dists[b, n1:]), 0.0)
+            # gathered neighbours match the indices
+            np.testing.assert_allclose(
+                np.asarray(res.knn[b, :n1]),
+                tgt[b][np.asarray(res.idx[b, :n1])],
+                atol=1e-6,
+            )
+
+    def test_k1_equals_nn_points(self):
+        rng = np.random.RandomState(3)
+        src = rng.randn(50, 3).astype(np.float32)
+        tgt = rng.randn(70, 3).astype(np.float32)
+        res = knn_points(jnp.asarray(src), jnp.asarray(tgt))
+        d, i = nn_points(jnp.asarray(src), jnp.asarray(tgt))
+        np.testing.assert_allclose(np.asarray(res.dists[..., 0]), np.asarray(d))
+        np.testing.assert_array_equal(np.asarray(res.idx[..., 0]), np.asarray(i))
+
+    def test_tie_break_smallest_index(self):
+        tgt = np.asarray([[1.0, 0, 0], [0, 0, 0], [0, 0, 0], [1, 0, 0]],
+                         dtype=np.float32)
+        src = np.zeros((1, 3), dtype=np.float32)
+        res = knn_points(jnp.asarray(src), jnp.asarray(tgt), K=4, tile_size=2)
+        np.testing.assert_array_equal(np.asarray(res.idx[0]), [1, 2, 0, 3])
+
+    def test_validation(self):
+        src = jnp.zeros((4, 3))
+        tgt = jnp.zeros((5, 3))
+        with pytest.raises(ValueError):
+            knn_points(src, tgt, K=0)
+        with pytest.raises(ValueError):
+            knn_points(src, tgt, K=6)
