@@ -37,6 +37,17 @@ from ..utils.precision import einsum_hp
 __all__ = ["Pointclouds"]
 
 
+def _array_device(arr):
+    """Device of a jax array (torch-style `.device` parity helper)."""
+    dev = getattr(arr, "device", None)
+    if dev is not None and not callable(dev):
+        return dev
+    devices = getattr(arr, "devices", None)
+    if callable(devices):
+        return next(iter(devices()))
+    return None
+
+
 def _compact_masked(values: jnp.ndarray, mask: jnp.ndarray, capacity: int):
     """Compact masked rows of ``values (B, M, C)`` to the front of a
     ``(B, capacity, C)`` buffer. Returns ``(buffer, counts)``.
@@ -159,6 +170,19 @@ class Pointclouds:
     @property
     def capacity(self) -> int:
         return self.points.shape[1]
+
+    @property
+    def device(self):
+        """Device holding the buffers (torch-style parity attribute)."""
+        return _array_device(self.points)
+
+    @property
+    def equisized(self) -> bool:
+        """True when every batch element has the same number of points
+        (reference pointclouds.py ctor attribute). Host-side only — reads
+        the live counters, so not usable under jit."""
+        counts = np.asarray(self.num_points)
+        return bool((counts == counts[0]).all()) if counts.size else True
 
     @property
     def nonpad_mask(self) -> jnp.ndarray:

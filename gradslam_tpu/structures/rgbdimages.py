@@ -108,6 +108,13 @@ class RGBDImages:
         return self.rgb_image.shape[0]
 
     @property
+    def device(self):
+        """Device holding the buffers (torch-style parity attribute)."""
+        from .pointclouds import _array_device
+
+        return _array_device(self.rgb_image)
+
+    @property
     def h(self) -> int:
         return self.shape[2]
 

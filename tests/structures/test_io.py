@@ -72,3 +72,32 @@ class TestPointcloudsSavePly:
         assert out["points"].shape == (40, 3)
         np.testing.assert_allclose(out["points"], pts[60:], rtol=1e-5)
         np.testing.assert_allclose(out["normals"], nrm[60:], rtol=1e-5)
+
+
+class TestParityAttributes:
+    """Torch-style attributes found by the reference API audit."""
+
+    def test_device_and_equisized(self):
+        import jax
+
+        pc = Pointclouds.from_list(
+            points=[np.zeros((5, 3), np.float32), np.zeros((5, 3), np.float32)]
+        )
+        assert pc.device in jax.devices()
+        assert pc.equisized is True
+        pc2 = Pointclouds.from_list(
+            points=[np.zeros((5, 3), np.float32), np.zeros((3, 3), np.float32)]
+        )
+        assert pc2.equisized is False
+
+    def test_rgbdimages_device(self):
+        import jax
+        import jax.numpy as jnp
+
+        from gradslam_tpu import RGBDImages
+
+        fr = RGBDImages(
+            jnp.zeros((1, 1, 4, 6, 3)), jnp.zeros((1, 1, 4, 6, 1)),
+            jnp.eye(4)[None, None],
+        )
+        assert fr.device in jax.devices()
