@@ -13,6 +13,7 @@ NOTEBOOKS = [
     "pointfusion_tutorial.ipynb",
     "rgbdimages_tutorial.ipynb",
     "pointclouds_tutorial.ipynb",
+    "online_slam_tutorial.ipynb",
 ]
 
 
