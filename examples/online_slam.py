@@ -81,6 +81,12 @@ def main():
     traj = []
     if args.resume and os.path.exists(ckpt_path):
         pc, est = load_state(ckpt_path)
+        if pc.capacity < capacity:
+            # Resuming with a longer --seqlen than the original run: grow the
+            # checkpointed buffers to the configured capacity, otherwise the
+            # fixed-capacity map would silently overflow (ADVICE r1).
+            print(f"growing map capacity {pc.capacity} -> {capacity}")
+            pc = pc.with_capacity(capacity)
         traj = [jnp.asarray(p) for p in np.asarray(est)]
         start = len(traj)
         print(f"resumed from {ckpt_path} at frame {start} "

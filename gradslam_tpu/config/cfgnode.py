@@ -112,12 +112,15 @@ class CfgNode(dict):
 
     # -- (im)mutability ---------------------------------------------------#
     def freeze(self):
+        """Make this node and all children immutable (reference cfgnode.py:238)."""
         self._immutable(True)
 
     def defrost(self):
+        """Make this node and all children mutable again (reference cfgnode.py:242)."""
         self._immutable(False)
 
     def is_frozen(self) -> bool:
+        """Whether the node is currently immutable."""
         return self.__dict__[CfgNode.IMMUTABLE]
 
     def _immutable(self, is_immutable: bool):
@@ -130,10 +133,12 @@ class CfgNode(dict):
                 v._immutable(is_immutable)
 
     def clone(self) -> "CfgNode":
+        """Deep copy of the whole config tree."""
         return copy.deepcopy(self)
 
     # -- serialization --------------------------------------------------- #
     def dump(self, **kwargs) -> str:
+        """Serialize to a YAML string (kwargs forwarded to yaml.safe_dump)."""
         def convert(node):
             if not isinstance(node, CfgNode):
                 _assert_with_logging(
@@ -147,14 +152,18 @@ class CfgNode(dict):
 
     # -- merging ----------------------------------------------------------#
     def merge_from_file(self, cfg_filename: str):
+        """Deep-merge the YAML config at ``cfg_filename`` into this node."""
         with open(cfg_filename) as f:
             cfg = load_cfg(f)
         self.merge_from_other_cfg(cfg)
 
     def merge_from_other_cfg(self, cfg_other: "CfgNode"):
+        """Deep-merge another CfgNode into this one."""
         _merge_a_into_b(cfg_other, self, self, [])
 
     def merge_from_list(self, cfg_list: List):
+        """Merge ``[key1, value1, key2, value2, ...]`` dotted-key overrides
+        (the CLI override form)."""
         _assert_with_logging(
             len(cfg_list) % 2 == 0,
             f"Override list has odd length: {cfg_list}; it must be a list of pairs",
@@ -177,6 +186,7 @@ class CfgNode(dict):
 
     # -- deprecated / renamed keys ---------------------------------------- #
     def register_deprecated_key(self, key: str):
+        """Mark a dotted key as deprecated: merging it warns and skips it."""
         _assert_with_logging(
             key not in self.__dict__[CfgNode.DEPRECATED_KEYS],
             f"key {key} is already registered as a deprecated key",
@@ -184,6 +194,8 @@ class CfgNode(dict):
         self.__dict__[CfgNode.DEPRECATED_KEYS].add(key)
 
     def register_renamed_key(self, old_name: str, new_name: str, message=None):
+        """Mark a dotted key as renamed: merging the old key raises with a
+        pointer to ``new_name`` (plus optional ``message``)."""
         _assert_with_logging(
             old_name not in self.__dict__[CfgNode.RENAMED_KEYS],
             f"key {old_name} is already registered as a renamed cfg key",
@@ -192,12 +204,15 @@ class CfgNode(dict):
         self.__dict__[CfgNode.RENAMED_KEYS][old_name] = value
 
     def key_is_deprecated(self, full_key: str) -> bool:
+        """Whether ``full_key`` is registered as deprecated."""
         return full_key in self.__dict__[CfgNode.DEPRECATED_KEYS]
 
     def key_is_renamed(self, full_key: str) -> bool:
+        """Whether ``full_key`` is registered as renamed."""
         return full_key in self.__dict__[CfgNode.RENAMED_KEYS]
 
     def raise_key_rename_error(self, full_key: str):
+        """Raise the KeyError explaining where ``full_key`` moved."""
         new_key = self.__dict__[CfgNode.RENAMED_KEYS][full_key]
         if isinstance(new_key, tuple):
             msg = " Note: " + new_key[1]
@@ -209,6 +224,7 @@ class CfgNode(dict):
         )
 
     def is_new_allowed(self) -> bool:
+        """Whether merging may introduce keys not present in this node."""
         return self.__dict__[CfgNode.NEW_ALLOWED]
 
     # -- value decoding -----------------------------------------------------#

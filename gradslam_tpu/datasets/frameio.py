@@ -59,6 +59,7 @@ def _load_lib():
 
 
 def is_available() -> bool:
+    """True when the native libframeio shared library is built and loadable."""
     return _load_lib() is not None
 
 
@@ -69,6 +70,9 @@ def _fptr(a: np.ndarray):
 def decode_color(
     path: str, height: int, width: int, normalize: bool = False
 ) -> Optional[np.ndarray]:
+    """Decode + bilinear-resize a PNG/JPEG color image to ``(H, W, 3)``
+    float32 via the native loader; None when the library is unavailable
+    (callers fall back to cv2/imageio)."""
     lib = _load_lib()
     if lib is None:
         return None
@@ -82,6 +86,9 @@ def decode_color(
 def decode_depth(
     path: str, height: int, width: int, depth_scale: float
 ) -> Optional[np.ndarray]:
+    """Decode + nearest-resize a 16-bit depth PNG to ``(H, W)`` float32
+    meters (``value / depth_scale``) via the native loader; None when the
+    library is unavailable."""
     lib = _load_lib()
     if lib is None:
         return None
@@ -123,15 +130,19 @@ class FrameLoader:
         )
 
     def submit(self, index: int, color_path: str, depth_path: str):
+        """Queue one frame (color+depth paths) for background decoding."""
         self._lib.frameio_loader_submit(
             self._handle, index, color_path.encode(), depth_path.encode()
         )
 
     def submit_sequence(self, color_paths: Sequence[str], depth_paths: Sequence[str]):
+        """Queue a whole sequence; frame ``i`` is fetched by index ``i``."""
         for i, (c, d) in enumerate(zip(color_paths, depth_paths)):
             self.submit(i, c, d)
 
     def fetch(self, index: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Block until frame ``index`` is decoded; returns ``(rgb (H, W, 3),
+        depth (H, W))`` float32."""
         rgb = np.empty((self.height, self.width, 3), dtype=np.float32)
         depth = np.empty((self.height, self.width), dtype=np.float32)
         ok = self._lib.frameio_loader_fetch(
@@ -142,6 +153,7 @@ class FrameLoader:
         return rgb, depth
 
     def close(self):
+        """Shut down the worker threads and free the native loader."""
         if self._handle:
             self._lib.frameio_loader_destroy(self._handle)
             self._handle = None

@@ -158,4 +158,6 @@ class ICL(RGBDSequenceDataset):
                 )
 
     def intrinsics_for(self, idx: int) -> np.ndarray:
+        """Fixed ICL pinhole intrinsics (4x4, fy negative — reference quirk
+        icl.py:379-381), pre-scaled to the target resolution."""
         return self._intrinsics

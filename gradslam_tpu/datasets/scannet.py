@@ -195,6 +195,8 @@ class Scannet(RGBDSequenceDataset):
             )
 
     def intrinsics_for(self, idx: int) -> np.ndarray:
+        """Per-scene intrinsics read from the scan's intrinsics file and
+        scaled to the target resolution (reference scannet.py:264)."""
         K = np.loadtxt(self.samples[idx]["intrinsics_path"]).astype(np.float32)
         if K.shape == (3, 3):
             K4 = np.eye(4, dtype=np.float32)

@@ -131,4 +131,6 @@ class TUM(RGBDSequenceDataset):
                 )
 
     def intrinsics_for(self, idx: int) -> np.ndarray:
+        """Fixed TUM pinhole intrinsics (4x4), pre-scaled to the target
+        resolution (reference tum.py:338-350)."""
         return self._intrinsics

@@ -97,6 +97,8 @@ def rpe(
             f"expected matching (L, 4, 4) pose arrays. Got {est_poses.shape} "
             f"and {gt_poses.shape}."
         )
+    if delta < 1:
+        raise ValueError(f"delta must be >= 1. Got {delta}.")
     if est_poses.shape[0] <= delta:
         raise ValueError(
             f"delta ({delta}) must be smaller than trajectory length "

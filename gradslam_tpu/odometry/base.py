@@ -12,4 +12,6 @@ class OdometryProvider(ABC):
 
     @abstractmethod
     def provide(self, *args, **kwargs):
+        """Compute relative transforms ``(B, 1, 4, 4)`` aligning the
+        second argument to the first (reference base.py:17)."""
         raise NotImplementedError

@@ -15,6 +15,9 @@ class GroundTruthOdometryProvider(OdometryProvider):
     (reference groundtruth.py:15-75)."""
 
     def provide(self, rgbdimages1: RGBDImages, rgbdimages2: RGBDImages):
+        """Relative transform between two seq-len-1 posed frame batches:
+        ``inv(poses1) @ poses2``, shape ``(B, 1, 4, 4)`` (reference
+        groundtruth.py:15-75)."""
         if not isinstance(rgbdimages1, RGBDImages) or not isinstance(
             rgbdimages2, RGBDImages
         ):

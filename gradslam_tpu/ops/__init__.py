@@ -1,3 +1,8 @@
+"""TPU nearest-neighbour kernels (the reference's chamferdist
+equivalent — SURVEY §2.4): XLA streaming 1-NN/K-NN plus a fused Pallas
+kernel, with an auto-dispatching front door (:func:`nn_points_auto`)
+and a process-wide backend switch (:func:`set_knn_backend`)."""
+
 from .knn import knn_points, nn_points
 from .knn_pallas import nn_points_pallas
 
@@ -23,6 +28,7 @@ def set_knn_backend(backend: str):
 
 
 def get_knn_backend() -> str:
+    """Currently selected 1-NN backend: 'auto', 'xla' or 'pallas'."""
     return _KNN_BACKEND
 
 

@@ -202,11 +202,12 @@ class _KNNResult:
 def knn_points(
     src: jnp.ndarray,
     tgt: jnp.ndarray,
-    tgt_mask: Optional[jnp.ndarray] = None,
     lengths1: Optional[jnp.ndarray] = None,
     lengths2: Optional[jnp.ndarray] = None,
     K: int = 1,
     return_nn: bool = False,
+    *,
+    tgt_mask: Optional[jnp.ndarray] = None,
     tile_size: int = 1024,
 ):
     r"""chamferdist-compatible K-NN (the native dep the reference installs for
@@ -215,10 +216,17 @@ def knn_points(
     (squared distances, ascending; ties to the smallest target index) and,
     with ``return_nn=True``, ``.knn`` gathered neighbours ``(B, N, K, 3)``.
 
+    The positional order matches chamferdist/pytorch3d —
+    ``knn_points(p1, p2, lengths1, lengths2, K, return_nn)`` — so reference
+    code calling positionally works unchanged. TPU-specific extensions
+    (``tgt_mask``, ``tile_size``) are keyword-only.
+
     ``lengths1/lengths2``: chamferdist-style valid counts per batch element —
     rows past ``lengths1`` are zeroed in the outputs; targets past
     ``lengths2`` can never be neighbours. ``tgt_mask`` is the general
-    per-point alternative to ``lengths2``.
+    per-point alternative to ``lengths2``. Slots with no valid neighbour
+    (fewer than ``K`` valid targets) are zero-padded — ``dists`` 0, ``idx``
+    0 — matching pytorch3d, not left at the internal +inf sentinel.
     """
     src = jnp.asarray(src)
     tgt = jnp.asarray(tgt)
@@ -233,6 +241,10 @@ def knn_points(
     if squeeze:
         src, tgt = src[None], tgt[None]
         tgt_mask = None if tgt_mask is None else jnp.asarray(tgt_mask)[None]
+        if lengths1 is not None:
+            lengths1 = jnp.atleast_1d(jnp.asarray(lengths1))
+        if lengths2 is not None:
+            lengths2 = jnp.atleast_1d(jnp.asarray(lengths2))
     B, M = tgt.shape[0], tgt.shape[1]
     if lengths2 is not None:
         range_mask = (
@@ -251,6 +263,14 @@ def knn_points(
             invalid = jnp.where(jnp.asarray(tgt_mask), 0.0, _INF).astype(src.dtype)
         fn = functools.partial(_knn_k_single, K=K, tile_size=tile_size)
         d, i = jax.vmap(fn)(src, tgt, invalid)
+
+    # Zero-pad slots that found no valid neighbour (fewer than K valid
+    # targets): pytorch3d pads these with 0, not the internal +inf sentinel.
+    # Real squared distances never approach the sentinel's magnitude.
+    if tgt_mask is not None or lengths2 is not None:
+        no_neighbour = d >= _INF * 0.5
+        d = jnp.where(no_neighbour, 0.0, d)
+        i = jnp.where(no_neighbour, 0, i)
 
     if lengths1 is not None:
         row_ok = (

@@ -104,6 +104,8 @@ class DataParallelSLAM:
         return self.slam(frames)
 
     def step(self, pointclouds, live_frame, prev_frame=None):
+        """Single online SLAM step with every batch tensor sharded over
+        the mesh's data axis (same contract as ``ICPSLAM.step``)."""
         pointclouds = shard_pointclouds(pointclouds, self.mesh, self.axis_name)
         live_frame = shard_frames(live_frame, self.mesh, self.axis_name)
         if prev_frame is not None:

@@ -41,9 +41,40 @@ from ..structures.pointclouds import Pointclouds
 from ..structures.rgbdimages import RGBDImages
 from ..structures.utils import pointclouds_from_rgbdimages  # noqa: F401
 
-__all__ = ["update_map_fusion", "update_map_aggregate", "prune_map"]
+__all__ = [
+    "update_map_fusion",
+    "update_map_aggregate",
+    "prune_map",
+    "pack_colors",
+    "unpack_colors",
+]
 
 _INT_SENTINEL = jnp.int32(2**30)
+
+
+def pack_colors(colors: jnp.ndarray) -> jnp.ndarray:
+    r"""Quantize float colors ``(..., 3)`` in [0, 1] to 8 bits/channel and
+    pack into one float32 channel ``(..., 1)`` holding the exact integer
+    ``r << 16 | g << 8 | b`` (max 2^24 - 1 — exactly representable in
+    float32). Used by the opt-in quantized-color map layout
+    (``PointFusion(quantize_colors=True)``): colors then ride inside the
+    packed 8-wide map row, saving the separate color gather/scatter passes
+    per frame. Lossy (8-bit, re-quantized after each merge: exported uchar
+    colors land within one step of the exact path's) and non-differentiable
+    in color."""
+    q = jnp.clip(jnp.round(colors * 255.0), 0, 255).astype(jnp.int32)
+    packed = (q[..., 0] << 16) | (q[..., 1] << 8) | q[..., 2]
+    return packed.astype(jnp.float32)[..., None]
+
+
+def unpack_colors(packed: jnp.ndarray) -> jnp.ndarray:
+    r"""Inverse of :func:`pack_colors`: ``(..., 1)`` packed channel back to
+    float colors ``(..., 3)`` in [0, 1] (exact on packed values)."""
+    p = packed[..., 0].astype(jnp.int32)
+    r = (p >> 16) & 0xFF
+    g = (p >> 8) & 0xFF
+    b = p & 0xFF
+    return jnp.stack([r, g, b], axis=-1).astype(jnp.float32) / 255.0
 
 
 def get_alpha(
@@ -402,6 +433,18 @@ def update_map_fusion(
     B, _, H, W = rgbdimages.shape
     cap = pointclouds.capacity
     HW = H * W
+    # Quantized-color map layout (PointFusion(quantize_colors=True)): colors
+    # live packed in the features' second channel (see pack_colors) — the
+    # whole map row is then exactly 8 wide and the merge needs no separate
+    # color gathers/scatters.
+    quantized = pointclouds.colors is None
+    if quantized:
+        if pointclouds.features is None or pointclouds.features.shape[-1] != 2:
+            raise ValueError(
+                "update_map_fusion needs either float colors or the "
+                "quantized layout (colors=None, features (B, CAP, 2) = "
+                "[ccount, packed_color])."
+            )
     if association == "auto":
         window = min(active_capacity if active_capacity is not None else 2 * HW, cap)
         association = "sort_full" if cap <= max(3 * HW, window) else "windowed"
@@ -419,16 +462,14 @@ def update_map_fusion(
         pointclouds.points, pointclouds.nonpad_mask, pose, K, H, W
     )
 
-    # Packed map geometry (points | normals | ccount | pad): one 8-wide row
-    # gather costs the same as a single 3-wide one on TPU, so packing turns
-    # three gathers into one (the concat itself streams at HBM bandwidth).
+    # Packed map geometry (points | normals | ccount | pad-or-packed-color):
+    # one 8-wide row gather costs the same as a single 3-wide one on TPU, so
+    # packing turns three gathers into one (the concat itself streams at HBM
+    # bandwidth). In the quantized layout the features channel pair is
+    # [ccount, packed_color] and fills the row with no pad.
     map_geom = jnp.concatenate(
-        [
-            pointclouds.points,
-            pointclouds.normals,
-            pointclouds.features,
-            jnp.zeros_like(pointclouds.features),
-        ],
+        [pointclouds.points, pointclouds.normals, pointclouds.features]
+        + ([] if quantized else [jnp.zeros_like(pointclouds.features)]),
         axis=-1,
     )  # (B, CAP, 8)
 
@@ -547,7 +588,11 @@ def update_map_fusion(
     m_pts = m_geom[..., :3]
     m_nrm = m_geom[..., 3:6]
     m_cc = m_geom[..., 6:7]
-    m_col = jnp.take_along_axis(pointclouds.colors, safe_row[..., None], axis=1)
+    if quantized:
+        # Colors rode along in the packed row — no extra gather.
+        m_col = unpack_colors(m_geom[..., 7:8])
+    else:
+        m_col = jnp.take_along_axis(pointclouds.colors, safe_row[..., None], axis=1)
 
     corr = corresponded[..., None]
     cc_old = jnp.where(corr, m_cc, 0.0)  # new points start from zero mass
@@ -573,6 +618,13 @@ def update_map_fusion(
 
     appended = jnp.sum((new_mask & (tail < cap)).astype(jnp.int32), axis=-1)
     num_points = pointclouds.num_points + appended
+    # Overflow accounting (see Pointclouds.num_dropped): un-corresponded valid
+    # pixels that found no free slot are dropped — count them, don't hide it.
+    num_dropped = pointclouds.num_dropped
+    if num_dropped is not None:
+        num_dropped = num_dropped + (
+            jnp.sum(new_mask.astype(jnp.int32), axis=-1) - appended
+        )
 
     if merge == "gather":
         # Rebuild-by-gather: invert the pixel->row map with ONE single-column
@@ -588,6 +640,22 @@ def update_map_fusion(
         )
         touched = row_src < HW
         safe_src = jnp.where(touched, row_src, 0)
+        t = touched[..., None]
+        if quantized:
+            # SINGLE packed 8-wide gather — colors ride in the packed
+            # channel; no second gather, no color where-pass.
+            pix_geom = jnp.concatenate(
+                [out_pts, out_nrm, new_cc, pack_colors(out_col)], axis=-1
+            )  # (B, HW, 8)
+            g = jnp.take_along_axis(pix_geom, safe_src[..., None], axis=1)
+            return dataclasses.replace(
+                pointclouds,
+                points=jnp.where(t, g[..., :3], pointclouds.points),
+                normals=jnp.where(t, g[..., 3:6], pointclouds.normals),
+                features=jnp.where(t, g[..., 6:8], pointclouds.features),
+                num_points=num_points,
+                num_dropped=num_dropped,
+            )
         # One packed 8-wide gather (pts | nrm | cc | pad) + one 3-wide for
         # colors (row gathers cost the same up to 32-byte rows).
         pix_geom = jnp.concatenate(
@@ -595,7 +663,6 @@ def update_map_fusion(
         )  # (B, HW, 8)
         g = jnp.take_along_axis(pix_geom, safe_src[..., None], axis=1)
         gc = jnp.take_along_axis(out_col, safe_src[..., None], axis=1)
-        t = touched[..., None]
         return dataclasses.replace(
             pointclouds,
             points=jnp.where(t, g[..., :3], pointclouds.points),
@@ -603,6 +670,7 @@ def update_map_fusion(
             colors=jnp.where(t, gc, pointclouds.colors),
             features=jnp.where(t, g[..., 6:7], pointclouds.features),
             num_points=num_points,
+            num_dropped=num_dropped,
         )
 
     def scatter_map(buf, vals):
@@ -615,6 +683,20 @@ def update_map_fusion(
             )
         return buf
 
+    if quantized:
+        # 8 single-column scatters instead of 10: colors ride packed in the
+        # features channel pair [ccount, packed_color].
+        return dataclasses.replace(
+            pointclouds,
+            points=scatter_map(pointclouds.points, out_pts),
+            normals=scatter_map(pointclouds.normals, out_nrm),
+            features=scatter_map(
+                pointclouds.features,
+                jnp.concatenate([new_cc, pack_colors(out_col)], axis=-1),
+            ),
+            num_points=num_points,
+            num_dropped=num_dropped,
+        )
     return dataclasses.replace(
         pointclouds,
         points=scatter_map(pointclouds.points, out_pts),
@@ -622,6 +704,7 @@ def update_map_fusion(
         colors=scatter_map(pointclouds.colors, out_col),
         features=scatter_map(pointclouds.features, new_cc),
         num_points=num_points,
+        num_dropped=num_dropped,
     )
 
 
@@ -691,5 +774,5 @@ def prune_map(
     features, _ = compact_masked(pointclouds.features, keep, cap)
     return Pointclouds(
         points=points, num_points=counts, normals=normals, colors=colors,
-        features=features,
+        features=features, num_dropped=pointclouds.num_dropped,
     )

@@ -52,7 +52,9 @@ class ICPSLAM:
             buffer and zero-pads the map between segments. Every fusion
             stage is O(capacity), so amortized growth cuts early-frame cost
             the way a growable array does; results are identical to running
-            the final capacity throughout (provided no segment overflows).
+            the final capacity throughout provided no segment overflows —
+            which is checkable: the returned map's ``num_dropped`` counters
+            record every row lost to a full buffer (assert they are zero).
         icp_capacity: fixed capacity of the downsampled ICP target buffer;
             default ``ceil(H/ds) * ceil(W/ds) * 2``.
         prune_every / prune_min_confidence: if ``prune_every > 0``, every
@@ -210,6 +212,14 @@ class ICPSLAM:
             return self.icp_capacity
         return 2 * math.ceil(H / self.dsratio) * math.ceil(W / self.dsratio)
 
+    # Map-layout knobs (overridden by PointFusion(quantize_colors=True)):
+    # float colors + 1 confidence feature by default.
+    _map_has_colors = True
+
+    @property
+    def _map_feature_dim(self):
+        return 1 if self.has_features else None
+
     def empty_map(self, batch_size: int, capacity: int) -> Pointclouds:
         r"""An empty map buffer compatible with this pipeline (the initial
         value for the online ``step`` API)."""
@@ -217,8 +227,8 @@ class ICPSLAM:
             batch_size,
             capacity,
             has_normals=True,
-            has_colors=True,
-            feature_dim=1 if self.has_features else None,
+            has_colors=self._map_has_colors,
+            feature_dim=self._map_feature_dim,
         )
 
     # kept as an alias for internal callers

@@ -46,8 +46,11 @@ def save_ply(
         path: output filename.
         points: ``(N, 3)`` float array.
         normals: optional ``(N, 3)`` float array (nx/ny/nz properties).
-        colors: optional ``(N, 3)`` array; values in [0, 1] are scaled to
-            [0, 255] and stored as uchar red/green/blue.
+        colors: optional ``(N, 3)`` array, stored as uchar red/green/blue.
+            The convention is dtype-driven (no value-range guessing —
+            ADVICE r1): floating dtypes are interpreted as [0, 1] and scaled
+            by 255 (values outside are clipped); integer dtypes are
+            interpreted as [0, 255] and clipped.
         binary: binary little-endian (default) or ASCII.
     """
     points = np.asarray(points, dtype=np.float32)
@@ -85,7 +88,8 @@ def save_ply(
                 f"Got {colors.shape}."
             )
         if colors.dtype != np.uint8:
-            scale = 255.0 if colors.size == 0 or colors.max() <= 1.0 + 1e-6 else 1.0
+            # Explicit dtype-driven convention: float => [0, 1], int => [0, 255].
+            scale = 255.0 if np.issubdtype(colors.dtype, np.floating) else 1.0
             colors = np.clip(colors * scale, 0, 255).astype(np.uint8)
         header += [
             "property uchar red",

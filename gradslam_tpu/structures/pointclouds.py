@@ -82,6 +82,11 @@ class Pointclouds:
     normals: Optional[jnp.ndarray] = None  # (B, CAP, 3)
     colors: Optional[jnp.ndarray] = None  # (B, CAP, 3)
     features: Optional[jnp.ndarray] = None  # (B, CAP, C)
+    # Overflow accounting: rows append_masked had to drop because the buffer
+    # was full. None = not tracked (e.g. ad-hoc constructions); Pointclouds
+    # built via `empty()` — every SLAM map — track it, so a too-small
+    # map_capacity is detectable instead of silently truncating the map.
+    num_dropped: Optional[jnp.ndarray] = None  # (B,) int32
 
     def __post_init__(self):
         pts = self.points
@@ -123,6 +128,7 @@ class Pointclouds:
                 if feature_dim
                 else None
             ),
+            num_dropped=jnp.zeros((batch_size,), dtype=jnp.int32),
         )
 
     @classmethod
@@ -133,13 +139,26 @@ class Pointclouds:
         colors: Optional[Sequence] = None,
         features: Optional[Sequence] = None,
         capacity: Optional[int] = None,
+        allow_truncation: bool = False,
     ) -> "Pointclouds":
         """Build from a list of ragged ``(N_b, 3)`` arrays (host-side helper,
-        parity with the reference list constructor pointclouds.py:110)."""
+        parity with the reference list constructor pointclouds.py:110).
+
+        Clouds longer than an explicit ``capacity`` raise (the reference's
+        loud-validation culture; a silently truncated cloud looks valid) —
+        pass ``allow_truncation=True`` to keep the first ``capacity`` points
+        instead.
+        """
         if len(points) == 0:
             raise ValueError("points list must be non-empty.")
         counts = [int(np.asarray(p).shape[0]) for p in points]
         cap = capacity if capacity is not None else max(max(counts), 1)
+        if max(counts) > cap and not allow_truncation:
+            raise ValueError(
+                f"cloud with {max(counts)} points exceeds capacity {cap}; "
+                "raise capacity or pass allow_truncation=True to keep only "
+                "the first `capacity` points."
+            )
 
         def pad(seq, dim):
             if seq is None:
@@ -169,6 +188,7 @@ class Pointclouds:
 
     @property
     def capacity(self) -> int:
+        """Padded buffer capacity CAP (max points per batch element)."""
         return self.points.shape[1]
 
     @property
@@ -192,18 +212,22 @@ class Pointclouds:
 
     @property
     def points_padded(self) -> jnp.ndarray:
+        """(B, CAP, 3) padded point buffer (reference pointclouds.py:736)."""
         return self.points
 
     @property
     def normals_padded(self) -> Optional[jnp.ndarray]:
+        """(B, CAP, 3) padded normals, or None (reference pointclouds.py:755)."""
         return self.normals
 
     @property
     def colors_padded(self) -> Optional[jnp.ndarray]:
+        """(B, CAP, 3) padded colors, or None (reference pointclouds.py:773)."""
         return self.colors
 
     @property
     def features_padded(self) -> Optional[jnp.ndarray]:
+        """(B, CAP, C) padded features, or None (reference pointclouds.py:791)."""
         return self.features
 
     @property
@@ -224,14 +248,17 @@ class Pointclouds:
 
     @property
     def has_normals(self) -> bool:
+        """True when a normals buffer exists (reference pointclouds.py:630)."""
         return self.normals is not None
 
     @property
     def has_colors(self) -> bool:
+        """True when a colors buffer exists (reference pointclouds.py:642)."""
         return self.colors is not None
 
     @property
     def has_features(self) -> bool:
+        """True when a features buffer exists (reference pointclouds.py:654)."""
         return self.features is not None
 
     @property
@@ -243,6 +270,8 @@ class Pointclouds:
 
     @property
     def normals_list(self) -> Optional[List[np.ndarray]]:
+        """Host-side ragged view of normals, or None
+        (reference pointclouds.py:700)."""
         if self.normals is None:
             return None
         arr = np.asarray(jax.device_get(self.normals))
@@ -251,6 +280,8 @@ class Pointclouds:
 
     @property
     def colors_list(self) -> Optional[List[np.ndarray]]:
+        """Host-side ragged view of colors, or None
+        (reference pointclouds.py:712)."""
         if self.colors is None:
             return None
         arr = np.asarray(jax.device_get(self.colors))
@@ -259,6 +290,8 @@ class Pointclouds:
 
     @property
     def features_list(self) -> Optional[List[np.ndarray]]:
+        """Host-side ragged view of features, or None
+        (reference pointclouds.py:724)."""
         if self.features is None:
             return None
         arr = np.asarray(jax.device_get(self.features))
@@ -279,6 +312,7 @@ class Pointclouds:
             normals=sel(self.normals),
             colors=sel(self.colors),
             features=sel(self.features),
+            num_dropped=sel(self.num_dropped),
         )
 
     # ------------------------------------------------------------------ #
@@ -296,11 +330,15 @@ class Pointclouds:
         )
 
     def offset(self, offsets) -> "Pointclouds":
+        """Translate live points by ``offsets`` (broadcastable); padding stays
+        zero (reference offset_ pointclouds.py:390)."""
         offsets = jnp.asarray(offsets)
         mask = self.nonpad_mask[..., None].astype(self.points.dtype)
         return dataclasses.replace(self, points=self.points + offsets * mask)
 
     def scale(self, scales) -> "Pointclouds":
+        """Scale points by ``scales`` (broadcastable; reference scale_
+        pointclouds.py:428)."""
         scales = jnp.asarray(scales)
         return dataclasses.replace(self, points=self.points * scales)
 
@@ -401,12 +439,15 @@ class Pointclouds:
     # structural copy and detach stops gradients)
     # ------------------------------------------------------------------ #
     def clone(self) -> "Pointclouds":
+        """Deep copy of every buffer (reference pointclouds.py:997)."""
         return jax.tree_util.tree_map(jnp.array, self)
 
     def detach(self) -> "Pointclouds":
+        """Stop gradients through every buffer (reference pointclouds.py:1031)."""
         return jax.tree_util.tree_map(jax.lax.stop_gradient, self)
 
     def to(self, device) -> "Pointclouds":
+        """Move all buffers to ``device`` (reference pointclouds.py:1043)."""
         return jax.device_put(self, device)
 
     def with_capacity(self, capacity: int) -> "Pointclouds":
@@ -452,18 +493,24 @@ class Pointclouds:
     # (the reference returns ``self`` after mutation, so chained call sites
     # ``pc = pc.offset_(x)`` work identically).
     def offset_(self, offsets) -> "Pointclouds":
+        """Reference in-place alias of :meth:`offset` (returns new object)."""
         return self.offset(offsets)
 
     def scale_(self, scales) -> "Pointclouds":
+        """Reference in-place alias of :meth:`scale` (returns new object)."""
         return self.scale(scales)
 
     def rotate_(self, rmat) -> "Pointclouds":
+        """Reference in-place alias of :meth:`rotate` (returns new object)."""
         return self.rotate(rmat)
 
     def transform_(self, transform) -> "Pointclouds":
+        """Reference in-place alias of :meth:`transform` (returns new object)."""
         return self.transform(transform)
 
     def pinhole_projection_(self, intrinsics) -> "Pointclouds":
+        """Reference in-place alias of :meth:`pinhole_projection`
+        (returns new object)."""
         return self.pinhole_projection(intrinsics)
 
     # ------------------------------------------------------------------ #
@@ -480,7 +527,9 @@ class Pointclouds:
         """Append masked rows of ``points (B, M, 3)`` into the free region of
         the buffer. Static-shape equivalent of ragged ``append_points``:
         destination slots are ``num_points + cumsum(mask) - 1``; rows that
-        would exceed capacity are dropped. Differentiable.
+        would exceed capacity are dropped — and *counted* in ``num_dropped``
+        when the buffer tracks it (see the field docs), so overflow is never
+        silent. Differentiable.
         """
         B, M = mask.shape
         cap = self.capacity
@@ -505,12 +554,18 @@ class Pointclouds:
             return buf
 
         appended = jnp.sum((dest < cap).astype(jnp.int32), axis=-1)
+        requested = jnp.sum(mask.astype(jnp.int32), axis=-1)
         return Pointclouds(
             points=scat(self.points, points),
             num_points=self.num_points + appended,
             normals=scat(self.normals, normals),
             colors=scat(self.colors, colors),
             features=scat(self.features, features),
+            num_dropped=(
+                None
+                if self.num_dropped is None
+                else self.num_dropped + (requested - appended)
+            ),
         )
 
     def append_points(self, other: "Pointclouds") -> "Pointclouds":

@@ -98,6 +98,7 @@ class RGBDImages:
     # ------------------------------------------------------------------ #
     @property
     def shape(self) -> Tuple[int, int, int, int]:
+        """(B, L, H, W) regardless of layout (reference rgbdimages.py:169)."""
         B, L = self.rgb_image.shape[:2]
         H, W = self.rgb_image.shape[3:5] if self.channels_first else (
             self.rgb_image.shape[2:4]
@@ -116,10 +117,12 @@ class RGBDImages:
 
     @property
     def h(self) -> int:
+        """Frame height (reference rgbdimages.py:175)."""
         return self.shape[2]
 
     @property
     def w(self) -> int:
+        """Frame width (reference rgbdimages.py:179)."""
         return self.shape[3]
 
     @property
@@ -130,6 +133,7 @@ class RGBDImages:
 
     @property
     def has_poses(self) -> bool:
+        """True when poses are attached (reference rgbdimages.py:316)."""
         return self.poses is not None
 
     # Layout conversions (reference rgbdimages.py:543-617). Pytrees are
@@ -138,6 +142,8 @@ class RGBDImages:
     # ``frames.to_channels_last_()``-then-use both keep working only in the
     # assignment form; the methods exist for drop-in API parity.
     def to_channels_last(self) -> "RGBDImages":
+        """Convert to (B, L, H, W, C) layout; no-op if already channels-last
+        (reference rgbdimages.py:581)."""
         if not self.channels_first:
             return self
         return dataclasses.replace(
@@ -148,6 +154,8 @@ class RGBDImages:
         )
 
     def to_channels_first(self) -> "RGBDImages":
+        """Convert to (B, L, C, H, W) layout; no-op if already channels-first
+        (reference rgbdimages.py:543)."""
         if self.channels_first:
             return self
         return dataclasses.replace(
@@ -158,9 +166,11 @@ class RGBDImages:
         )
 
     def to_channels_last_(self) -> "RGBDImages":
+        """Reference in-place alias of :meth:`to_channels_last`."""
         return self.to_channels_last()
 
     def to_channels_first_(self) -> "RGBDImages":
+        """Reference in-place alias of :meth:`to_channels_first`."""
         return self.to_channels_first()
 
     def __getitem__(self, index) -> "RGBDImages":
@@ -185,17 +195,22 @@ class RGBDImages:
         )
 
     def with_poses(self, poses) -> "RGBDImages":
+        """Copy with ``poses (B, L, 4, 4)`` attached (the functional form of
+        the reference poses setter, rgbdimages.py:411)."""
         return dataclasses.replace(self, poses=jnp.asarray(poses))
 
     # Tensor-semantics conveniences (reference clone/detach/to,
     # rgbdimages.py:465-541).
     def clone(self) -> "RGBDImages":
+        """Deep copy of every tensor (reference rgbdimages.py:465)."""
         return jax.tree_util.tree_map(jnp.array, self)
 
     def detach(self) -> "RGBDImages":
+        """Stop gradients through every tensor (reference rgbdimages.py:478)."""
         return jax.tree_util.tree_map(jax.lax.stop_gradient, self)
 
     def to(self, device) -> "RGBDImages":
+        """Move all tensors to ``device`` (reference rgbdimages.py:491)."""
         return jax.device_put(self, device)
 
     def cpu(self) -> "RGBDImages":
@@ -316,12 +331,14 @@ class RGBDImages:
     # ------------------------------------------------------------------ #
     @property
     def rgb_image_channels_first(self) -> jnp.ndarray:
+        """RGB tensor in (B, L, 3, H, W) layout (converting if needed)."""
         if self.channels_first:
             return self.rgb_image
         return jnp.moveaxis(self.rgb_image, -1, 2)
 
     @property
     def depth_image_channels_first(self) -> jnp.ndarray:
+        """Depth tensor in (B, L, 1, H, W) layout (converting if needed)."""
         if self.channels_first:
             return self.depth_image
         return jnp.moveaxis(self.depth_image, -1, 2)

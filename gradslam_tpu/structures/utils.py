@@ -76,4 +76,7 @@ def pointclouds_from_rgbdimages(
     return Pointclouds(
         points=points, num_points=counts, normals=normals, colors=colors,
         features=features,
+        # Overflow accounting: rows lost when capacity < number of valid
+        # depths (never silent — see Pointclouds.num_dropped).
+        num_dropped=jnp.sum(mask, axis=-1).astype(jnp.int32) - counts,
     )

@@ -28,7 +28,7 @@ def save_state(path: str, pointclouds, poses: Optional[jnp.ndarray] = None):
         "points": np.asarray(pointclouds.points),
         "num_points": np.asarray(pointclouds.num_points),
     }
-    for name in ("normals", "colors", "features"):
+    for name in ("normals", "colors", "features", "num_dropped"):
         val = getattr(pointclouds, name)
         if val is not None:
             arrays[name] = np.asarray(val)
@@ -52,6 +52,9 @@ def load_state(path: str):
             normals=jnp.asarray(data["normals"]) if "normals" in data else None,
             colors=jnp.asarray(data["colors"]) if "colors" in data else None,
             features=jnp.asarray(data["features"]) if "features" in data else None,
+            num_dropped=(
+                jnp.asarray(data["num_dropped"]) if "num_dropped" in data else None
+            ),
         )
         poses = jnp.asarray(data["poses"]) if "poses" in data else None
     return pc, poses

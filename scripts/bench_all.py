@@ -1,22 +1,42 @@
 """Extended benchmark suite over the BASELINE.md operating points (the
-headline driver metric stays in bench.py). Prints one JSON line per config.
+headline driver metric stays in bench.py). Prints one JSON line per config
+and writes the whole set to a committed per-round artifact
+(``BENCH_ALL_r<N>.json``, ``--out`` to override) so tracked-odometry
+performance is recorded per round, not just in ROADMAP prose (VERDICT r1 #2).
 
 Configs (BASELINE.json):
-  1. PointFusion + GT odometry, 30 frames 640x480         (headline, = bench.py)
   2. ICPSLAM + point-to-plane ICP                          (synthetic clip)
-  3. PointFusion + GradICP                                 (synthetic clip)
+  3. PointFusion + GradICP (fresh + reuse lookahead)       (synthetic clip)
+  4. Large map: 60 frames 640x480, map -> 1.13M points     (ScanNet analogue)
   5. Batched differentiable SLAM: vmap over 8 sequences, backprop to
      depth + intrinsics                                    (no reference equiv.)
 """
 
+import argparse
+import datetime
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
 
-def run():
+
+def _default_out():
+    """BENCH_ALL_r<N>.json where N follows the driver's BENCH_r<N>.json."""
+    rounds = [
+        int(f[len("BENCH_r"):-len(".json")])
+        for f in os.listdir(REPO)
+        if f.startswith("BENCH_r") and f.endswith(".json")
+        and f[len("BENCH_r"):-len(".json")].isdigit()
+    ]
+    n = max(rounds, default=0) + 1
+    return os.path.join(REPO, f"BENCH_ALL_r{n:02d}.json")
+
+
+def run(out_path=None):
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/.jaxcache")
@@ -40,6 +60,8 @@ def run():
 
         pc, op, c = go(frames)
         _ = float(c)
+        dropped = int(np.asarray(pc.num_dropped).sum())
+        assert dropped == 0, f"{tag}: map overflowed ({dropped} rows dropped)"
         t0 = time.perf_counter()
         outs = [go(frames) for _i in range(iters)]
         for pc, op, c in outs:
@@ -76,6 +98,13 @@ def run():
     gicp_r = PointFusion(odom="gradicp", dsratio=4, numiters=10,
                          map_capacity=gicp_sched, lookahead_assoc="reuse")
     timed("PointFusion(gradicp, reuse lookahead) 320x240 frames/s", gicp_r,
+          frames, B, L, baseline=0.323)
+    # production-best: reuse lookahead + quantized-color map (geometry and
+    # trajectory identical; colors 8-bit)
+    gicp_q = PointFusion(odom="gradicp", dsratio=4, numiters=10,
+                         map_capacity=gicp_sched, lookahead_assoc="reuse",
+                         quantize_colors=True)
+    timed("PointFusion(gradicp, reuse+quantized) 320x240 frames/s", gicp_q,
           frames, B, L, baseline=0.323)
 
     # config 4: large map / long sequence (BASELINE.md #4 analogue — no
@@ -131,6 +160,21 @@ def run():
     for r in results:
         print(json.dumps(r))
 
+    out_path = out_path or _default_out()
+    payload = {
+        "date": datetime.date.today().isoformat(),
+        "device": jax.devices()[0].platform,
+        "configs": results,
+    }
+    with open(out_path, "w") as f:
+        json.dump(payload, f, indent=1)
+        f.write("\n")
+    print(f"# wrote {out_path}", file=sys.stderr)
+
 
 if __name__ == "__main__":
-    run()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None,
+                    help="artifact path (default: BENCH_ALL_r<next>.json)")
+    args = ap.parse_args()
+    run(args.out)

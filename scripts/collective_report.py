@@ -1,0 +1,99 @@
+"""Collective-volume report for the map-axis-sharded pipeline (VERDICT r1 #7).
+
+Lowers ``MapShardedPointFusion`` on a virtual K-device CPU mesh and extracts
+every ``all_gather`` from the StableHLO, reporting bytes moved per frame as a
+function of (H, W, K, CAP). The key scaling property asserted by
+tests/parallel/test_map_sharded.py::TestCollectiveVolume — and visible here —
+is that the per-frame collective volume is O(K * B * H * W) (winner tables)
+plus O(K * B * window) for tracked odometry, and INDEPENDENT of map capacity:
+the map never moves over the interconnect, only frame-sized tables do.
+
+Usage: python scripts/collective_report.py [--markdown]
+"""
+
+import argparse
+import os
+import re
+import sys
+
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+
+DTYPE_BYTES = {"f32": 4, "i32": 4, "f64": 8, "i64": 8, "i1": 1, "f16": 2,
+               "bf16": 2}
+
+
+def collective_volume(fn, *args):
+    """Sum of all_gather OUTPUT bytes in one trace of ``fn`` (per scan
+    iteration — collectives inside lax.scan appear once in the HLO)."""
+    import jax
+
+    txt = jax.jit(fn).lower(*args).as_text()
+    total = 0
+    ops = []
+    for shape, dt in re.findall(
+        r"all_gather.*?->\s*tensor<([0-9x]+)x(\w+)>", txt
+    ):
+        n = 1
+        for d in shape.split("x"):
+            n *= int(d)
+        nbytes = n * DTYPE_BYTES.get(dt, 4)
+        ops.append((shape, dt, nbytes))
+        total += nbytes
+    return total, ops
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--markdown", action="store_true")
+    args = ap.parse_args()
+
+    os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+    sys.path.insert(0, REPO)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from gradslam_tpu import RGBDImages
+    from gradslam_tpu.datasets import synthetic_sequence
+    from gradslam_tpu.parallel import MapShardedPointFusion, make_mesh
+
+    rows = []
+    for K, H, W, cap_mult, odom in [
+        (8, 16, 24, 2, "gt"),
+        (8, 16, 24, 16, "gt"),   # 8x the capacity — volume must not change
+        (4, 16, 24, 2, "gt"),
+        (8, 24, 32, 2, "gt"),
+        (8, 16, 24, 2, "gradicp"),
+    ]:
+        mesh = make_mesh(jax.devices()[:K], axis_name="map")
+        B, L = 1, 2
+        cap = K * 128 * cap_mult
+        rgb, depth, intr, poses = synthetic_sequence(B, L, H, W)
+        fr = RGBDImages(
+            jnp.asarray(rgb), jnp.asarray(depth), jnp.asarray(intr),
+            jnp.asarray(poses),
+        )
+        kw = dict(dsratio=2, numiters=2) if odom != "gt" else {}
+        msf = MapShardedPointFusion(map_capacity=cap, mesh=mesh, odom=odom, **kw)
+        total, ops = collective_volume(msf._forward_impl, fr)
+        rows.append((K, H, W, cap, odom, len(ops), total))
+
+    # The HLO contains TWO fusion sites (the frame-0 bootstrap and the scan
+    # body), so the per-frame volume is half the gt-mode total; tracked
+    # odometry adds its window gather inside the scan body only.
+    if args.markdown:
+        print("| K | HxW | capacity | odom | all_gathers (trace) | bytes gathered (trace) |")
+        print("|---|---|---|---|---|---|")
+        for K, H, W, cap, odom, n, total in rows:
+            print(f"| {K} | {H}x{W} | {cap} | {odom} | {n} | {total:,} |")
+    else:
+        for K, H, W, cap, odom, n, total in rows:
+            print(
+                f"K={K} HxW={H}x{W} cap={cap} odom={odom}: "
+                f"{n} all_gathers, {total:,} bytes in trace"
+            )
+
+
+if __name__ == "__main__":
+    main()

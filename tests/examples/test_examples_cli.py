@@ -69,6 +69,7 @@ class TestExampleCLIs:
 
 
 class TestOnlineSlamCLI:
+    @pytest.mark.slow
     def test_stream_checkpoint_resume_and_evaluate(self, fake_tum, tmp_path):
         out = str(tmp_path / "run")
         common = [

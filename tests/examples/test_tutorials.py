@@ -18,6 +18,7 @@ NOTEBOOKS = [
 
 
 @pytest.mark.parametrize("name", NOTEBOOKS)
+@pytest.mark.slow
 def test_notebook_cells_execute(name):
     path = os.path.join(NB_DIR, name)
     with open(path) as f:

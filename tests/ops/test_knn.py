@@ -149,3 +149,56 @@ class TestKNNPointsK:
             knn_points(src, tgt, K=0)
         with pytest.raises(ValueError):
             knn_points(src, tgt, K=6)
+
+    def test_chamferdist_positional_order(self):
+        """Reference code calls knn_points(p1, p2, lengths1, lengths2, K,
+        return_nn) positionally (chamferdist/pytorch3d order) — ADVICE r1:
+        lengths must NOT be swallowed by a mask parameter."""
+        rng = np.random.RandomState(4)
+        src = jnp.asarray(rng.randn(2, 10, 3).astype(np.float32))
+        tgt = jnp.asarray(rng.randn(2, 20, 3).astype(np.float32))
+        l1 = jnp.asarray([10, 6])
+        l2 = jnp.asarray([20, 15])
+        pos = knn_points(src, tgt, l1, l2, 2, True)
+        kw = knn_points(
+            src, tgt, lengths1=l1, lengths2=l2, K=2, return_nn=True
+        )
+        np.testing.assert_array_equal(np.asarray(pos.dists), np.asarray(kw.dists))
+        np.testing.assert_array_equal(np.asarray(pos.idx), np.asarray(kw.idx))
+        np.testing.assert_array_equal(np.asarray(pos.knn), np.asarray(kw.knn))
+        # lengths actually took effect: rows past lengths1 zeroed
+        np.testing.assert_array_equal(np.asarray(pos.dists[1, 6:]), 0.0)
+
+    def test_fewer_than_k_valid_targets_zero_padded(self):
+        """Slots beyond the valid-target count return dist 0 / idx 0
+        (pytorch3d zero-pad), not the internal 1e30 sentinel."""
+        tgt = jnp.asarray(
+            [[[1.0, 0, 0], [2.0, 0, 0], [9.0, 0, 0], [9.0, 0, 0]]]
+        )
+        src = jnp.zeros((1, 2, 3))
+        res = knn_points(src, tgt, lengths2=jnp.asarray([2]), K=3)
+        d = np.asarray(res.dists)
+        i = np.asarray(res.idx)
+        np.testing.assert_allclose(d[0, :, :2], [[1.0, 4.0]] * 2)
+        np.testing.assert_array_equal(d[0, :, 2], 0.0)
+        np.testing.assert_array_equal(i[0, :, 2], 0)
+        # same via tgt_mask (keyword-only)
+        mask = jnp.asarray([[True, True, False, False]])
+        res2 = knn_points(src, tgt, K=3, tgt_mask=mask)
+        np.testing.assert_array_equal(np.asarray(res2.dists), d)
+        np.testing.assert_array_equal(np.asarray(res2.idx), i)
+
+    def test_unbatched_scalar_lengths(self):
+        """Scalar (0-d) lengths are the natural unbatched form — must not
+        crash on promotion (ADVICE r1)."""
+        rng = np.random.RandomState(5)
+        src = jnp.asarray(rng.randn(8, 3).astype(np.float32))
+        tgt = jnp.asarray(rng.randn(12, 3).astype(np.float32))
+        res = knn_points(src, tgt, 8, 12, 2)
+        res_scalar = knn_points(
+            src, tgt, jnp.asarray(8), jnp.asarray(12), 2
+        )
+        np.testing.assert_array_equal(
+            np.asarray(res.dists), np.asarray(res_scalar.dists)
+        )
+        assert res_scalar.dists.shape == (8, 2)

@@ -62,6 +62,31 @@ class TestMapShardedFusion:
             rtol=1e-5,
         )
 
+    @pytest.mark.parametrize("K", [2, 4])
+    def test_shard_count_scaling(self, K):
+        """VERDICT r1 #7: K=2 and K=4 shard counts must produce the same map
+        as single-device, not just the full 8-device mesh."""
+        if len(jax.devices()) < K:
+            pytest.skip(f"needs {K} (virtual) devices")
+        sub_mesh = make_mesh(jax.devices()[:K], axis_name="map")
+        B, L, H, W = 1, 3, 16, 24
+        frames = synthetic_frames(B, L=L, H=H, W=W)
+        cap = K * 512
+
+        single = PointFusion(odom="gt", map_capacity=cap)
+        pc_s, _ = single(frames)
+        sharded = MapShardedPointFusion(map_capacity=cap, mesh=sub_mesh)
+        smap, _ = sharded(frames)
+        pc_m = smap.to_pointclouds()
+        assert int(np.asarray(smap.num_points).sum()) == int(
+            np.asarray(pc_s.num_points).sum()
+        )
+        np.testing.assert_allclose(
+            _sorted_rows(pc_m.points_list[0]),
+            _sorted_rows(pc_s.points_list[0]),
+            atol=1e-5,
+        )
+
     def test_batched(self, mesh):
         B, L, H, W = 2, 2, 12, 16
         frames = synthetic_frames(B, L=L, H=H, W=W, seed=3)
@@ -78,6 +103,7 @@ class TestMapShardedFusion:
                 atol=1e-5,
             )
 
+    @pytest.mark.slow
     def test_tracked_matches_single_device(self, mesh):
         """GradICP tracking against the sharded map: trajectory must match
         the single-device tracked pipeline (same downsampled clouds, same
@@ -112,6 +138,38 @@ class TestMapShardedFusion:
         sharded = MapShardedPointFusion(map_capacity=8 * 64, mesh=mesh)
         with pytest.raises(ValueError):
             sharded(frames)
+
+
+class TestCollectiveVolume:
+    """The sharded pipeline's interconnect traffic must be frame-sized —
+    O(K * B * H * W) winner tables — and INDEPENDENT of map capacity (the map
+    itself never rides the ICI). Asserted from the lowered StableHLO."""
+
+    def test_volume_independent_of_capacity(self, mesh):
+        import importlib.util
+        import os
+
+        spec = importlib.util.spec_from_file_location(
+            "collective_report",
+            os.path.join(
+                os.path.dirname(__file__), "..", "..", "scripts",
+                "collective_report.py",
+            ),
+        )
+        cr = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(cr)
+
+        B, L, H, W = 1, 2, 16, 24
+        frames = synthetic_frames(B, L=L, H=H, W=W)
+        small = MapShardedPointFusion(map_capacity=8 * 256, mesh=mesh)
+        big = MapShardedPointFusion(map_capacity=8 * 2048, mesh=mesh)
+        v_small, ops_small = cr.collective_volume(small._forward_impl, frames)
+        v_big, ops_big = cr.collective_volume(big._forward_impl, frames)
+        assert v_small == v_big  # capacity-independent
+        # exactly the documented winner tables: 2 fusion sites x 3 tables,
+        # each (K, B, H*W) 4-byte
+        assert len(ops_small) == 6
+        assert v_small == 2 * 3 * 8 * B * H * W * 4
 
 
 class TestShardedKNN:

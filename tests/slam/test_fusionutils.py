@@ -219,6 +219,7 @@ class TestMapUpdates:
             atol=1e-4,
         )
 
+    @pytest.mark.slow
     def test_fusion_differentiable(self, msrd):
         frames = RGBDImages(
             rgb_image=jnp.asarray(msrd["colors"][:1, :1]),

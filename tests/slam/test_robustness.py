@@ -22,6 +22,7 @@ def frame_with_depth(depth_fill, B=1, H=8, W=8):
 
 
 class TestDegenerateInputs:
+    @pytest.mark.slow
     def test_all_invalid_depth_fusion(self):
         """A frame with no valid depth adds nothing and corrupts nothing."""
         slam = PointFusion(odom="gt", map_capacity=256)

@@ -159,6 +159,7 @@ class TestOdometrySLAM:
     """SLAM with ICP/GradICP odometry on downsampled golden frames."""
 
     @pytest.mark.parametrize("odom", ["icp", "gradicp"])
+    @pytest.mark.slow
     def test_tracks_near_gt(self, msrd, odom):
         # downsample frames 2x for speed
         frames = RGBDImages(
@@ -190,6 +191,7 @@ class TestTrackedTrajectoryParity:
     generated with scripts/reference_shim.py."""
 
     @pytest.mark.parametrize("odom", ["icp", "gradicp"])
+    @pytest.mark.slow
     def test_poses_match_reference(self, msrd, odom):
         from gradslam_tpu.metrics import ate_rmse
 
@@ -211,6 +213,7 @@ class TestTrackedDifferentiability:
     """The gradSLAM thesis: gradients flow through the full tracked pipeline —
     GradICP odometry + fusion — from the trajectory back to raw depth."""
 
+    @pytest.mark.slow
     def test_grad_of_trajectory_wrt_depth_through_gradicp(self, msrd):
         frames = RGBDImages(
             rgb_image=jnp.asarray(msrd["colors"][:1, :2, ::4, ::4]),
@@ -235,6 +238,7 @@ class TestTrackedDifferentiability:
 
 
 class TestRemat:
+    @pytest.mark.slow
     def test_remat_forward_matches_and_grads_flow(self, msrd):
         frames = make_frames(msrd, B=1, L=3)
         base = PointFusion(odom="gt", use_jit=False)
@@ -285,6 +289,7 @@ class TestCapacitySchedule:
             (ICPSLAM, dict(odom="icp", dsratio=2, numiters=4)),
         ],
     )
+    @pytest.mark.slow
     def test_schedule_equals_fixed(self, synthetic_clip, cls, kw):
         frames = synthetic_clip(B=1, L=6, H=24, W=32)
         H, W = 24, 32
@@ -316,3 +321,134 @@ class TestCapacitySchedule:
         assert grown.with_capacity(16) is grown
         with pytest.raises(ValueError):
             grown.with_capacity(8)
+
+
+class TestQuantizedColors:
+    """Opt-in quantized-color map layout (PointFusion(quantize_colors=True)):
+    geometry/trajectory/counts must be EXACTLY the float-color path's;
+    colors 8-bit-quantized (max error ~1/255 plus accumulation)."""
+
+    @pytest.mark.parametrize(
+        "kw",
+        [
+            dict(odom="gt"),
+            dict(odom="gradicp", dsratio=2, numiters=4),
+        ],
+    )
+    @pytest.mark.slow
+    def test_matches_exact_path(self, synthetic_clip, kw):
+        frames = synthetic_clip(B=2, L=5, H=24, W=32)
+        cap = 5 * 24 * 32
+        exact = PointFusion(map_capacity=cap, **kw)
+        quant = PointFusion(map_capacity=cap, quantize_colors=True, **kw)
+        pc1, tr1 = exact(frames)
+        pc2, tr2 = quant(frames)
+        np.testing.assert_array_equal(
+            np.asarray(pc1.num_points), np.asarray(pc2.num_points)
+        )
+        np.testing.assert_allclose(np.asarray(tr1), np.asarray(tr2), atol=1e-6)
+        n = int(pc1.num_points[0])
+        np.testing.assert_allclose(
+            np.asarray(pc1.points[0, :n]), np.asarray(pc2.points[0, :n]),
+            atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(pc1.features[0, :n, 0]),
+            np.asarray(pc2.features[0, :n, 0]),
+            atol=1e-6,
+        )
+        dec = PointFusion.decode_map(pc2)
+        assert dec.colors is not None and dec.features.shape[-1] == 1
+        np.testing.assert_allclose(
+            np.asarray(pc1.colors[0, :n]), np.asarray(dec.colors[0, :n]),
+            atol=0.02,
+        )
+
+    @pytest.mark.parametrize("merge", ["scatter", "gather"])
+    def test_merge_modes_agree(self, synthetic_clip, merge):
+        frames = synthetic_clip(B=1, L=4, H=16, W=24)
+        cap = 4 * 16 * 24
+        ref = PointFusion(odom="gt", map_capacity=cap, quantize_colors=True)
+        alt = PointFusion(
+            odom="gt", map_capacity=cap, quantize_colors=True, merge=merge
+        )
+        pc1, _ = ref(frames)
+        pc2, _ = alt(frames)
+        n = int(pc1.num_points[0])
+        assert n == int(pc2.num_points[0])
+        np.testing.assert_allclose(
+            np.asarray(pc1.points[0, :n]), np.asarray(pc2.points[0, :n]),
+            atol=1e-6,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(pc1.features[0, :n, 1]),
+            np.asarray(pc2.features[0, :n, 1]),
+        )
+
+    def test_pack_unpack_roundtrip(self):
+        from gradslam_tpu.slam.fusionutils import pack_colors, unpack_colors
+
+        rng = np.random.RandomState(0)
+        c = jnp.asarray(rng.rand(100, 3).astype(np.float32))
+        packed = pack_colors(c)
+        out = unpack_colors(packed)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(c), atol=0.5 / 255.0 + 1e-6
+        )
+        # exact on already-quantized values
+        np.testing.assert_array_equal(
+            np.asarray(pack_colors(out)), np.asarray(packed)
+        )
+
+    def test_decode_map_noop_on_float_maps(self, synthetic_clip):
+        frames = synthetic_clip(B=1, L=2, H=16, W=24)
+        pc, _ = PointFusion(odom="gt", map_capacity=2 * 16 * 24)(frames)
+        assert PointFusion.decode_map(pc) is pc
+
+    def test_save_ply_colors_within_one_uchar_step(self, synthetic_clip, tmp_path):
+        """PLY export is 8-bit uchar — the quantized map's exported colors sit
+        within ONE uchar step of the exact path's (merged points re-quantize
+        per frame, so exact equality only holds for single-observation
+        points); geometry is bit-identical."""
+        from gradslam_tpu.structures import load_ply
+
+        frames = synthetic_clip(B=1, L=3, H=16, W=24)
+        cap = 3 * 16 * 24
+        pc1, _ = PointFusion(odom="gt", map_capacity=cap)(frames)
+        pc2, _ = PointFusion(
+            odom="gt", map_capacity=cap, quantize_colors=True
+        )(frames)
+        p1, p2 = str(tmp_path / "a.ply"), str(tmp_path / "b.ply")
+        pc1.save_ply(p1)
+        PointFusion.decode_map(pc2).save_ply(p2)
+        a, b = load_ply(p1), load_ply(p2)
+        np.testing.assert_array_equal(a["points"], b["points"])
+        diff = np.abs(
+            np.round(a["colors"] * 255) - np.round(b["colors"] * 255)
+        )
+        assert diff.max() <= 1, diff.max()
+
+
+class TestOverflowAccounting:
+    """VERDICT r1 #3: a too-small map_capacity must be detectable from the
+    returned state, pipelines included — never a silently truncated map."""
+
+    def test_pipeline_surfaces_dropped_rows(self, synthetic_clip):
+        frames = synthetic_clip(B=1, L=4, H=16, W=24)
+        tiny = PointFusion(odom="gt", map_capacity=100)
+        pc, _ = tiny(frames)
+        assert pc.num_dropped is not None
+        assert int(pc.num_dropped[0]) > 0
+        assert int(pc.num_points[0]) == 100  # buffer filled to the brim
+
+    def test_pipeline_zero_drops_at_sufficient_capacity(self, synthetic_clip):
+        frames = synthetic_clip(B=1, L=4, H=16, W=24)
+        slam = PointFusion(odom="gt", map_capacity=4 * 16 * 24)
+        pc, _ = slam(frames)
+        np.testing.assert_array_equal(np.asarray(pc.num_dropped), [0])
+
+    def test_capacity_schedule_overflow_detectable(self, synthetic_clip):
+        frames = synthetic_clip(B=1, L=4, H=16, W=24)
+        sched = PointFusion(odom="gt", map_capacity=[(2, 50), (2, 4 * 16 * 24)])
+        pc, _ = sched(frames)
+        assert int(pc.num_dropped[0]) > 0  # first segment overflowed

@@ -44,6 +44,25 @@ class TestPlyRoundTrip:
         out = load_ply(path)
         np.testing.assert_allclose(out["colors"], col, atol=1.0 / 255.0 + 1e-6)
 
+    def test_color_convention_is_dtype_driven(self, tmp_path, cloud):
+        """ADVICE r1: no value-range guessing — float dtypes are [0, 1],
+        integer dtypes are [0, 255]. A nearly-black int image must NOT be
+        brightened 255x; an out-of-range float must be clipped."""
+        pts, _, _ = cloud
+        n = pts.shape[0]
+        # int colors, all values <= 1 (nearly black): stay nearly black
+        dark = np.ones((n, 3), dtype=np.int32)
+        path = str(tmp_path / "dark.ply")
+        save_ply(path, pts, colors=dark)
+        out = load_ply(path)
+        np.testing.assert_allclose(out["colors"], 1.0 / 255.0, atol=1e-6)
+        # float colors out of [0, 1]: clipped, not passed through as 0-255
+        bright = np.full((n, 3), 2.0, dtype=np.float32)
+        path = str(tmp_path / "bright.ply")
+        save_ply(path, pts, colors=bright)
+        out = load_ply(path)
+        np.testing.assert_allclose(out["colors"], 1.0, atol=1e-6)
+
     def test_bad_shapes_raise(self, tmp_path, cloud):
         pts, nrm, _ = cloud
         with pytest.raises(ValueError):

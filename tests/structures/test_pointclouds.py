@@ -118,6 +118,42 @@ class TestAppend:
         assert int(out.num_points[0]) == 4
         np.testing.assert_allclose(np.asarray(out.points[0]), np.asarray(new[0, :4]))
 
+    def test_append_masked_overflow_is_counted(self):
+        """VERDICT r1 #3: overflow must be detectable from the returned state
+        — not a silent truncation."""
+        pc = Pointclouds.empty(1, 4, has_normals=False, has_colors=False, feature_dim=None)
+        np.testing.assert_array_equal(np.asarray(pc.num_dropped), [0])
+        new = jnp.arange(18, dtype=jnp.float32).reshape(1, 6, 3)
+        mask = jnp.ones((1, 6), dtype=bool)
+        out = pc.append_masked(new, mask)
+        np.testing.assert_array_equal(np.asarray(out.num_dropped), [2])
+        # further appends accumulate
+        out2 = out.append_masked(new, mask)
+        np.testing.assert_array_equal(np.asarray(out2.num_dropped), [8])
+        # masked-off rows are not "dropped"
+        pc8 = Pointclouds.empty(1, 8, has_normals=False, has_colors=False, feature_dim=None)
+        m = jnp.asarray([[True, False, True, False, False, False]])
+        out3 = pc8.append_masked(new, m)
+        np.testing.assert_array_equal(np.asarray(out3.num_dropped), [0])
+
+    def test_append_masked_untracked_stays_untracked(self):
+        """Ad-hoc buffers built without the counter keep a stable pytree
+        structure (scan-carry safety)."""
+        pc = Pointclouds(
+            points=jnp.zeros((1, 4, 3)),
+            num_points=jnp.zeros((1,), dtype=jnp.int32),
+        )
+        assert pc.num_dropped is None
+        out = pc.append_masked(jnp.ones((1, 6, 3)), jnp.ones((1, 6), dtype=bool))
+        assert out.num_dropped is None
+
+    def test_from_list_overflow_raises(self):
+        pts, _, _ = make_clouds()
+        with pytest.raises(ValueError, match="exceeds capacity"):
+            Pointclouds.from_list(pts, capacity=2)
+        pc = Pointclouds.from_list(pts, capacity=2, allow_truncation=True)
+        assert int(pc.num_points.max()) == 2
+
     def test_append_masked_respects_mask(self):
         pc = Pointclouds.empty(1, 8, has_normals=False, has_colors=False, feature_dim=None)
         new = jnp.arange(12, dtype=jnp.float32).reshape(1, 4, 3)
