@@ -49,7 +49,12 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..geometry.geometryutils import compose_transformations
 from ..odometry.icputils import point_to_plane_ICP, point_to_plane_gradICP
 from ..ops import nn_points_auto
-from ..slam.fusionutils import _project_map_points, get_alpha
+from ..slam.fusionutils import (
+    _project_map_points,
+    get_alpha,
+    pack_colors,
+    unpack_colors,
+)
 from ..structures.pointclouds import Pointclouds, compact_masked
 from ..structures.rgbdimages import RGBDImages
 
@@ -87,20 +92,29 @@ class ShardedMap(NamedTuple):
     ``points/normals/colors/features`` are global ``(B, CAP, ·)`` arrays
     placed with the point axis sharded; ``num_points`` is ``(K, B)`` — one
     live counter per shard (each shard's valid rows are a prefix of its own
-    ``CAP/K``-row slice, NOT of the global buffer).
+    ``CAP/K``-row slice, NOT of the global buffer). ``colors`` is
+    ``(B, CAP, 1)`` packed (see ``fusionutils.pack_colors``) when built with
+    ``quantize_colors=True``. ``num_dropped (K, B)`` counts rows each shard
+    had to drop because its slice was full (overflow accounting — see
+    ``Pointclouds.num_dropped``).
     """
 
     points: jnp.ndarray  # (B, CAP, 3)
     normals: jnp.ndarray  # (B, CAP, 3)
-    colors: jnp.ndarray  # (B, CAP, 3)
+    colors: jnp.ndarray  # (B, CAP, 3) float or (B, CAP, 1) packed
     features: jnp.ndarray  # (B, CAP, 1)
     num_points: jnp.ndarray  # (K, B) int32
+    num_dropped: jnp.ndarray  # (K, B) int32
 
     def to_pointclouds(self) -> Pointclouds:
-        """Host-side compaction into a standard (unsharded) Pointclouds."""
+        """Host-side compaction into a standard (unsharded) Pointclouds.
+        Packed colors (quantize_colors builds) are unpacked to float."""
+        colors = self.colors
+        if colors.shape[-1] == 1:  # packed layout
+            colors = unpack_colors(colors)
         pts = np.asarray(jax.device_get(self.points))
         nrm = np.asarray(jax.device_get(self.normals))
-        col = np.asarray(jax.device_get(self.colors))
+        col = np.asarray(jax.device_get(colors))
         feat = np.asarray(jax.device_get(self.features))
         nums = np.asarray(jax.device_get(self.num_points))  # (K, B)
         K, B = nums.shape
@@ -114,8 +128,17 @@ class ShardedMap(NamedTuple):
             nrm_l.append(nrm[b][keep])
             col_l.append(col[b][keep])
             feat_l.append(feat[b][keep])
-        return Pointclouds.from_list(pts_l, normals=nrm_l, colors=col_l,
-                                     features=feat_l)
+        pc = Pointclouds.from_list(pts_l, normals=nrm_l, colors=col_l,
+                                   features=feat_l)
+        import dataclasses
+
+        return dataclasses.replace(
+            pc,
+            num_dropped=jnp.asarray(
+                np.asarray(jax.device_get(self.num_dropped)).sum(axis=0),
+                dtype=jnp.int32,
+            ),
+        )
 
 
 def _transform_pts(pts, pose):
@@ -179,6 +202,7 @@ class MapShardedPointFusion:
         dist_th: float = 0.05,
         angle_th: float = 20.0,
         sigma: float = 0.6,
+        quantize_colors: bool = False,
         use_jit: bool = True,
     ):
         if odom not in ("gt", "icp", "gradicp"):
@@ -208,6 +232,11 @@ class MapShardedPointFusion:
         self.dist_th = dist_th
         self.dot_th = math.cos(angle_th * math.pi / 180.0)
         self.sigma = sigma
+        # Packed 8-bit colors (see fusionutils.pack_colors): each shard's
+        # color slice shrinks 3x in HBM and the frame-color gather rides the
+        # packed frame row instead of a separate 3-wide gather. Same
+        # trade-off as PointFusion(quantize_colors=True).
+        self.quantize_colors = bool(quantize_colors)
         self._forward = jax.jit(self._forward_impl) if use_jit else self._forward_impl
 
     # ------------------------------------------------------------------ #
@@ -286,6 +315,7 @@ class MapShardedPointFusion:
 
         dist_th, dot_th = self.dist_th, self.dot_th
         GCAP = jnp.int32(K * C)
+        quantized = self.quantize_colors
 
         def sharded_scan(lv, ln, fc, fa, fvalid, poses_in, intr, sl, sv):
             shard = jax.lax.axis_index(axis)
@@ -298,12 +328,17 @@ class MapShardedPointFusion:
 
             def fuse(state, pose, v, n, c, a, vd):
                 """One fusion step at the given pose (global-frame v/n in)."""
-                pts, nrm, col, feat, nloc = state
+                pts, nrm, col, feat, nloc, ndrop = state
                 nonpad = lidx < nloc[:, None]
                 valid, pix = _project_map_points(pts, nonpad, pose, intr, H, W)
 
+                # In the quantized layout the frame's packed color fills the
+                # 8th channel, so the merge needs no separate color gather.
                 fgeom = jnp.concatenate(
-                    [v, n, a, jnp.zeros((B, HW, 1), v.dtype)], axis=-1)
+                    [v, n, a,
+                     pack_colors(c) if quantized
+                     else jnp.zeros((B, HW, 1), v.dtype)],
+                    axis=-1)
                 safe_pix = jnp.minimum(pix, HW - 1)
                 g = jnp.take_along_axis(fgeom, safe_pix[..., None], axis=1)
                 fp, fnrm = g[..., :3], g[..., 3:6]
@@ -372,7 +407,6 @@ class MapShardedPointFusion:
                 safe_src = jnp.where(touched, row_src, 0)
 
                 g8 = jnp.take_along_axis(fgeom, safe_src[..., None], axis=1)
-                gc = jnp.take_along_axis(c, safe_src[..., None], axis=1)
                 alpha = g8[..., 6:7]
                 # fresh tail rows have feat == 0 (never written), so one
                 # uniform weighted-average formula covers merge AND append
@@ -382,10 +416,21 @@ class MapShardedPointFusion:
                 t = touched[..., None]
                 pts2 = jnp.where(t, (cc_old * pts + alpha * g8[..., :3]) * inv, pts)
                 nrm2 = jnp.where(t, (cc_old * nrm + alpha * g8[..., 3:6]) * inv, nrm)
-                col2 = jnp.where(t, (cc_old * col + alpha * gc) * inv, col)
+                if quantized:
+                    # unpack-average-repack is elementwise (fused by XLA)
+                    merged = (cc_old * unpack_colors(col)
+                              + alpha * unpack_colors(g8[..., 7:8])) * inv
+                    col2 = jnp.where(t, pack_colors(merged), col)
+                else:
+                    gc = jnp.take_along_axis(c, safe_src[..., None], axis=1)
+                    col2 = jnp.where(t, (cc_old * col + alpha * gc) * inv, col)
                 feat2 = jnp.where(t, new_cc, feat)
                 appended = jnp.sum((mine & (tail < C)).astype(jnp.int32), axis=-1)
-                return (pts2, nrm2, col2, feat2, nloc + appended)
+                # overflow accounting: rounds dealt to this shard that found
+                # its slice full (see ShardedMap.num_dropped)
+                dropped = jnp.sum(mine.astype(jnp.int32), axis=-1) - appended
+                return (pts2, nrm2, col2, feat2, nloc + appended,
+                        ndrop + dropped)
 
             def globalize(pose, v_loc, n_loc, vd):
                 gv = _transform_pts(v_loc, pose)
@@ -395,7 +440,7 @@ class MapShardedPointFusion:
 
             def localize(state, pose_prev, s_loc, s_valid):
                 """Frame-to-map odometry (reference icpslam.py:180-247)."""
-                pts, nrm, _col, _feat, nloc = state
+                pts, nrm, _col, _feat, nloc, _nd = state
                 nonpad = lidx < nloc[:, None]
                 valid, pix = _project_map_points(
                     pts, nonpad, pose_prev, intr, H, W)
@@ -417,8 +462,10 @@ class MapShardedPointFusion:
 
             # ---- frame 0: fuse at the bootstrap pose ----
             zeros3 = jnp.zeros((B, C, 3), jnp.float32)
-            state0 = (zeros3, zeros3, zeros3,
+            state0 = (zeros3, zeros3,
+                      jnp.zeros((B, C, 1), jnp.float32) if quantized else zeros3,
                       jnp.zeros((B, C, 1), jnp.float32),
+                      jnp.zeros((B,), jnp.int32),
                       jnp.zeros((B,), jnp.int32))
             state0 = jax.tree.map(
                 lambda x: jax.lax.pcast(x, axis, to="varying"), state0)
@@ -453,8 +500,8 @@ class MapShardedPointFusion:
                      sl[1:], sv[1:]))
                 poses_out = jnp.concatenate([pose0[None], rest], axis=0)
 
-            pts, nrm, col, feat, nloc = state
-            return pts, nrm, col, feat, nloc[None], poses_out
+            pts, nrm, col, feat, nloc, ndrop = state
+            return pts, nrm, col, feat, nloc[None], ndrop[None], poses_out
 
         rep = P()
         out_map = P(None, axis)
@@ -463,7 +510,7 @@ class MapShardedPointFusion:
             mesh=self.mesh,
             in_specs=(rep,) * 9,
             out_specs=(out_map, out_map, out_map, out_map,
-                       P(axis, None), rep),
+                       P(axis, None), P(axis, None), rep),
             # the tracked pose / solver results are bit-identical on every
             # shard (replicated compute on all-gathered inputs), but the
             # static varying-axes checker can't prove it
@@ -471,6 +518,6 @@ class MapShardedPointFusion:
         )(lv, ln, fc, fa, fvalid, poses_in, intr,
           sl if sl is not None else jnp.zeros((L, B, 1, 3), jnp.float32),
           sv if sv is not None else jnp.zeros((L, B, 1), bool))
-        pts, nrm, col, feat, nums, poses_out = fused
-        return (ShardedMap(pts, nrm, col, feat, nums),
+        pts, nrm, col, feat, nums, ndrops, poses_out = fused
+        return (ShardedMap(pts, nrm, col, feat, nums, ndrops),
                 jnp.moveaxis(poses_out, 0, 1))

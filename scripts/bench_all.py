@@ -129,6 +129,12 @@ def run(out_path=None):
     )
     timed("PointFusion(gt) 640x480 large-map (1.13M pts, 60 frames) frames/s",
           big, frames, B, L, iters=2, baseline=0.1506)
+    big_q = PointFusion(
+        odom="gt", quantize_colors=True,
+        map_capacity=[(20, 626_688), (20, 915_456), (20, 1_182_720)],
+    )
+    timed("PointFusion(gt) 640x480 large-map (quantized colors) frames/s",
+          big_q, frames, B, L, iters=2, baseline=0.1506)
 
     # config 5: batched differentiable SLAM (grad wrt depth + intrinsics)
     B, L, H, W = 8, 4, 120, 160

@@ -126,6 +126,56 @@ class TestMapShardedFusion:
         )
         assert int(np.asarray(smap.num_points).sum()) > 0
 
+    def test_quantized_colors_matches_single_device(self, mesh):
+        """quantize_colors on the sharded path: same point set as the exact
+        single-device run; colors 8-bit-quantized; packed slice is 1-wide."""
+        B, L, H, W = 1, 3, 16, 24
+        frames = synthetic_frames(B, L=L, H=H, W=W)
+        cap = 8 * 256
+
+        single = PointFusion(odom="gt", map_capacity=cap)
+        pc_s, _ = single(frames)
+        sharded = MapShardedPointFusion(
+            map_capacity=cap, mesh=mesh, quantize_colors=True
+        )
+        smap, _ = sharded(frames)
+        assert smap.colors.shape[-1] == 1  # packed
+        pc_m = smap.to_pointclouds()
+        assert pc_m.colors.shape[-1] == 3  # unpacked on export
+        assert int(np.asarray(smap.num_points).sum()) == int(
+            np.asarray(pc_s.num_points).sum()
+        )
+        np.testing.assert_allclose(
+            _sorted_rows(pc_m.points_list[0]),
+            _sorted_rows(pc_s.points_list[0]),
+            atol=1e-5,
+        )
+        # colors: compare per matched point (sort both sets by coordinates)
+        pts_m = np.asarray(pc_m.points_list[0])
+        pts_s = np.asarray(pc_s.points_list[0])
+        om = np.lexsort((pts_m[:, 2], pts_m[:, 1], pts_m[:, 0]))
+        os_ = np.lexsort((pts_s[:, 2], pts_s[:, 1], pts_s[:, 0]))
+        np.testing.assert_allclose(
+            np.asarray(pc_m.colors_list[0])[om],
+            np.asarray(pc_s.colors_list[0])[os_],
+            atol=0.02,
+        )
+
+    def test_overflow_accounting(self, mesh):
+        """A too-small global capacity must surface in num_dropped, exactly
+        as on the single-device path."""
+        B, L, H, W = 1, 3, 16, 24
+        frames = synthetic_frames(B, L=L, H=H, W=W)
+        tiny = MapShardedPointFusion(map_capacity=8 * 16, mesh=mesh)
+        smap, _ = tiny(frames)
+        assert int(np.asarray(smap.num_dropped).sum()) > 0
+        pc = smap.to_pointclouds()
+        assert int(np.asarray(pc.num_dropped).sum()) > 0
+        # and a roomy run drops nothing
+        ok = MapShardedPointFusion(map_capacity=8 * 256, mesh=mesh)
+        smap2, _ = ok(frames)
+        assert int(np.asarray(smap2.num_dropped).sum()) == 0
+
     def test_capacity_divisibility_raises(self, mesh):
         with pytest.raises(ValueError):
             MapShardedPointFusion(map_capacity=1001, mesh=mesh)
