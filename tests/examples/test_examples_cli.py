@@ -58,6 +58,16 @@ class TestExampleCLIs:
         assert r.returncode == 0, r.stderr[-2000:]
         assert "map points per sequence" in r.stdout
 
+    def test_pointfusion_quantized_flag(self, fake_tum):
+        r = run_example(
+            "pointfusion.py", "--dataset", "tum", "--dataset_path", fake_tum,
+            "--odometry", "gt", "--seqlen", "4", "--batch_size", "1",
+            "--height", "24", "--width", "32", "--quantize-colors",
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "map points per sequence" in r.stdout
+        assert "WARNING: map overflowed" not in r.stdout
+
     def test_icpslam_reports_ate(self, fake_tum):
         r = run_example(
             "icpslam.py", "--dataset", "tum", "--dataset_path", fake_tum,
