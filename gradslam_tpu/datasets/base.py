@@ -98,7 +98,12 @@ class RGBDSequenceDataset:
         return_transform: bool = True,
         return_names: bool = True,
         depth_scale: float = 5000.0,
+        loader: str = "cv2",
     ):
+        if loader not in ("cv2", "native"):
+            raise ValueError(
+                f"loader must be 'cv2' or 'native'. Got {loader!r}."
+            )
         self.seqlen = seqlen
         self.height = height
         self.width = width
@@ -110,6 +115,13 @@ class RGBDSequenceDataset:
         self.return_transform = return_transform
         self.return_names = return_names
         self.depth_scale = depth_scale
+        # 'native': decode + resize + scale through the C++ frameio library
+        # with threaded prefetch across the sample's frames (production IO
+        # path). Falls back to cv2/imageio per frame when the library isn't
+        # built or a file isn't PNG/JPEG. Default 'cv2' matches the
+        # reference's pixel-exact resize behaviour (bilinear implementations
+        # differ at sub-pixel level on resize).
+        self.loader = loader
         self.samples: List[dict] = []
 
     def __len__(self) -> int:
@@ -129,6 +141,34 @@ class RGBDSequenceDataset:
     def intrinsics_for(self, idx: int) -> np.ndarray:
         raise NotImplementedError
 
+    def _load_native(self, sample):
+        """Decode a whole sample through the threaded native loader.
+        Returns ``(colors, depths)`` lists, or ``(None, None)`` to signal
+        fallback (library unbuilt or a frame failed to decode)."""
+        from . import frameio
+
+        if not frameio.is_available():
+            return None, None
+        cpaths = list(sample["color_paths"])
+        dpaths = list(sample["depth_paths"])
+        loader = frameio.FrameLoader(
+            self.height, self.width, depth_scale=self.depth_scale,
+            normalize_color=self.normalize_color,
+        )
+        try:
+            loader.submit_sequence(cpaths, dpaths)
+            colors, depths = [], []
+            for i in range(len(cpaths)):
+                try:
+                    rgb, depth = loader.fetch(i)
+                except Exception:
+                    return None, None
+                colors.append(rgb)
+                depths.append(depth)
+            return colors, depths
+        finally:
+            loader.close()
+
     # -- main entry ------------------------------------------------------ #
     def __getitem__(self, idx: int):
         from .datautils import channels_first as to_cf
@@ -136,20 +176,27 @@ class RGBDSequenceDataset:
 
         sample = self.samples[idx]
         colors, depths = [], []
-        for cpath, dpath in zip(sample["color_paths"], sample["depth_paths"]):
-            colors.append(
-                resize_color(
-                    self._read_color(cpath),
-                    self.height,
-                    self.width,
-                    self.normalize_color,
+        native_done = False
+        if self.loader == "native":
+            colors, depths = self._load_native(sample)
+            native_done = colors is not None
+        if not native_done:
+            colors, depths = [], []
+            for cpath, dpath in zip(sample["color_paths"], sample["depth_paths"]):
+                colors.append(
+                    resize_color(
+                        self._read_color(cpath),
+                        self.height,
+                        self.width,
+                        self.normalize_color,
+                    )
                 )
-            )
-            depths.append(
-                resize_depth(
-                    self._read_depth(dpath), self.height, self.width, self.depth_scale
+                depths.append(
+                    resize_depth(
+                        self._read_depth(dpath), self.height, self.width,
+                        self.depth_scale,
+                    )
                 )
-            )
         colors = np.stack(colors)  # (L, H, W, 3)
         depths = np.stack(depths)[..., None]  # (L, H, W, 1)
         if self.channels_first:

@@ -72,6 +72,7 @@ class ICL(RGBDSequenceDataset):
         return_pose: bool = True,
         return_transform: bool = True,
         return_names: bool = True,
+        loader: str = "cv2",
     ):
         super().__init__(
             seqlen=seqlen,
@@ -84,6 +85,7 @@ class ICL(RGBDSequenceDataset):
             return_pose=return_pose,
             return_transform=return_transform,
             return_names=return_names,
+            loader=loader,
             depth_scale=5000.0,
         )
         basedir = os.path.normpath(basedir)

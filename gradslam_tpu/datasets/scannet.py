@@ -119,6 +119,7 @@ class Scannet(RGBDSequenceDataset):
         return_pose: bool = True,
         return_transform: bool = True,
         return_names: bool = True,
+        loader: str = "cv2",
         return_labels: bool = True,
     ):
         super().__init__(
@@ -132,6 +133,7 @@ class Scannet(RGBDSequenceDataset):
             return_pose=return_pose,
             return_transform=return_transform,
             return_names=return_names,
+            loader=loader,
             depth_scale=1000.0,
         )
         self.seg_classes = seg_classes
@@ -222,25 +224,29 @@ class Scannet(RGBDSequenceDataset):
 
         sample = self.samples[idx]
         colors, depths, labels, poses = [], [], [], []
-        for i, (cpath, dpath) in enumerate(
-            zip(sample["color_paths"], sample["depth_paths"])
-        ):
-            colors.append(
-                resize_color(
-                    np.asarray(imageio.imread(cpath)),
-                    self.height,
-                    self.width,
-                    self.normalize_color,
+        if self.loader == "native":
+            nc, nd = self._load_native(sample)
+            if nc is not None:
+                colors, depths = nc, nd
+        if not colors:
+            for cpath, dpath in zip(sample["color_paths"], sample["depth_paths"]):
+                colors.append(
+                    resize_color(
+                        np.asarray(imageio.imread(cpath)),
+                        self.height,
+                        self.width,
+                        self.normalize_color,
+                    )
                 )
-            )
-            depths.append(
-                resize_depth(
-                    np.asarray(imageio.imread(dpath)),
-                    self.height,
-                    self.width,
-                    self.depth_scale,
+                depths.append(
+                    resize_depth(
+                        np.asarray(imageio.imread(dpath)),
+                        self.height,
+                        self.width,
+                        self.depth_scale,
+                    )
                 )
-            )
+        for i in range(len(sample["color_paths"])):
             poses.append(np.loadtxt(sample["pose_paths"][i]).astype(np.float32))
             if self.return_labels:
                 labels.append(

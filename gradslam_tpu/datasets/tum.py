@@ -42,6 +42,7 @@ class TUM(RGBDSequenceDataset):
         return_pose: bool = True,
         return_transform: bool = True,
         return_names: bool = True,
+        loader: str = "cv2",
         return_timestamps: bool = True,
     ):
         super().__init__(
@@ -55,6 +56,7 @@ class TUM(RGBDSequenceDataset):
             return_pose=return_pose,
             return_transform=return_transform,
             return_names=return_names,
+            loader=loader,
             depth_scale=5000.0,
         )
         self.return_timestamps = return_timestamps
