@@ -57,6 +57,17 @@ class ICPSLAM:
             record every row lost to a full buffer (assert they are zero).
         icp_capacity: fixed capacity of the downsampled ICP target buffer;
             default ``ceil(H/ds) * ceil(W/ds) * 2``.
+        icp_window_frames: if set, frame-to-map odometry associates against
+            only the most recent ``icp_window_frames * H * W`` map rows (a
+            sliding recency window over the append-ordered buffer) instead
+            of projecting the ENTIRE map each frame. The aggregate map grows
+            by H*W rows per frame, so every active-point stage is
+            O(L * H * W) without a window — on long sequences the window
+            turns odometry cost constant per frame (measured: ICPSLAM(icp)
+            320x240 38 -> see BENCH_ALL). Default None = reference semantics
+            (project the whole map, reference icpslam.py:240-243). Only
+            meaningful for append-ordered (aggregate) maps; PointFusion maps
+            stay bounded and merge in place, so leave it unset there.
         prune_every / prune_min_confidence: if ``prune_every > 0``, every
             ``prune_every``-th mapped frame ends with
             :func:`~gradslam_tpu.slam.fusionutils.prune_map` — unstable
@@ -86,6 +97,7 @@ class ICPSLAM:
         nu: float = 200.0,
         map_capacity: Optional[int] = None,
         icp_capacity: Optional[int] = None,
+        icp_window_frames: Optional[int] = None,
         lookahead_assoc: str = "fresh",
         prune_every: int = 0,
         prune_min_confidence: float = 1.0,
@@ -102,6 +114,11 @@ class ICPSLAM:
         self.dsratio = dsratio
         self.map_capacity = map_capacity
         self.icp_capacity = icp_capacity
+        if icp_window_frames is not None and icp_window_frames < 1:
+            raise ValueError(
+                f"icp_window_frames must be >= 1. Got {icp_window_frames}."
+            )
+        self.icp_window_frames = icp_window_frames
         self.remat = remat
         if prune_every < 0:
             raise ValueError(f"prune_every must be >= 0. Got {prune_every}.")
@@ -252,6 +269,34 @@ class ICPSLAM:
             map_pc,
         )
 
+    def _icp_target_window(
+        self, pointclouds: Pointclouds, H: int, W: int
+    ) -> Pointclouds:
+        """Slice the recency window out of an append-ordered map buffer
+        (``icp_window_frames``); returns the map unchanged when the feature
+        is off or the window would cover the whole buffer."""
+        if self.icp_window_frames is None:
+            return pointclouds
+        rows = self.icp_window_frames * H * W
+        cap = pointclouds.capacity
+        if rows >= cap:
+            return pointclouds
+        start = jnp.clip(pointclouds.num_points - rows, 0, cap - rows)  # (B,)
+
+        def slice_one(buf, s):
+            return jax.lax.dynamic_slice_in_dim(buf, s, rows, axis=0)
+
+        def slice_buf(buf):
+            return (
+                None if buf is None else jax.vmap(slice_one)(buf, start)
+            )
+
+        return Pointclouds(
+            points=slice_buf(pointclouds.points),
+            num_points=jnp.minimum(pointclouds.num_points, rows),
+            normals=slice_buf(pointclouds.normals),
+        )
+
     def _localize(
         self,
         pointclouds: Pointclouds,
@@ -263,9 +308,10 @@ class ICPSLAM:
         B, _, H, W = live_frame.shape
         live_frame = live_frame.with_poses(prev_frame.poses)
         frames_pc = downsample_rgbdimages(live_frame, self.dsratio)
-        active = find_active_map_points(pointclouds, prev_frame)
+        target = self._icp_target_window(pointclouds, H, W)
+        active = find_active_map_points(target, prev_frame)
         maps_pc = downsample_pointclouds(
-            pointclouds,
+            target,
             active.valid,
             active.pix_h,
             active.pix_w,

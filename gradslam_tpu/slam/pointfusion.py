@@ -42,6 +42,7 @@ class PointFusion(ICPSLAM):
         nu: float = 200.0,
         map_capacity: Optional[int] = None,
         icp_capacity: Optional[int] = None,
+        icp_window_frames: Optional[int] = None,
         lookahead_assoc: str = "fresh",
         active_capacity: Optional[int] = None,
         association: str = "auto",
@@ -64,6 +65,7 @@ class PointFusion(ICPSLAM):
             nu=nu,
             map_capacity=map_capacity,
             icp_capacity=icp_capacity,
+            icp_window_frames=icp_window_frames,
             lookahead_assoc=lookahead_assoc,
             prune_every=prune_every,
             prune_min_confidence=prune_min_confidence,

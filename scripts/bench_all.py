@@ -91,6 +91,16 @@ def run(out_path=None):
         map_capacity=[(5, (i + 1) * 5 * H * W) for i in range(6)],
     )
     timed("ICPSLAM(icp) 320x240 frames/s", icp, frames, B, L, baseline=0.121)
+    # recency-window odometry: associate against the latest 2 frames' worth
+    # of map rows instead of projecting the whole (growing) aggregate map —
+    # constant odometry cost per frame, tracks at least as well (stale
+    # duplicate aggregate points bias the solver; see TestICPWindowFrames).
+    icp_w = ICPSLAM(
+        odom="icp", dsratio=4, numiters=10, icp_window_frames=2,
+        map_capacity=[(5, (i + 1) * 5 * H * W) for i in range(6)],
+    )
+    timed("ICPSLAM(icp, 2-frame window) 320x240 frames/s", icp_w, frames, B, L,
+          baseline=0.121)
     gicp_sched = [(10, 98_304), (10, 122_880), (10, 147_456)]
     gicp = PointFusion(odom="gradicp", dsratio=4, numiters=10,
                        map_capacity=gicp_sched)

@@ -323,6 +323,54 @@ class TestCapacitySchedule:
             grown.with_capacity(8)
 
 
+class TestICPWindowFrames:
+    """icp_window_frames: odometry associates against the most recent
+    window of the append-ordered map instead of projecting the whole map."""
+
+    def test_full_window_is_exact(self, synthetic_clip):
+        frames = synthetic_clip(B=1, L=5, H=16, W=24)
+        ref = ICPSLAM(odom="icp", dsratio=2, numiters=4)
+        win = ICPSLAM(odom="icp", dsratio=2, numiters=4, icp_window_frames=5)
+        _, tr_ref = ref(frames)
+        _, tr_win = win(frames)
+        # window covers every mapped frame -> identical target set, but row
+        # ORDER may differ (slice offset), so compare trajectories tightly
+        np.testing.assert_allclose(
+            np.asarray(tr_win), np.asarray(tr_ref), atol=1e-5
+        )
+
+    def test_tight_window_still_tracks(self, synthetic_clip):
+        frames = synthetic_clip(B=1, L=6, H=16, W=24)
+        gt = np.asarray(frames.poses)
+        ref = ICPSLAM(odom="icp", dsratio=2, numiters=6)
+        win = ICPSLAM(odom="icp", dsratio=2, numiters=6, icp_window_frames=2)
+        _, tr_ref = ref(frames)
+        _, tr_win = win(frames)
+        err_ref = np.abs(np.asarray(tr_ref) - gt).max()
+        err_win = np.abs(np.asarray(tr_win) - gt).max()
+        # the 2-frame recency window must track ground truth at least as
+        # well as full-map association (measured: it tracks BETTER here —
+        # 4e-4 vs 2e-2 — stale duplicated aggregate points bias the solver)
+        assert err_win <= err_ref + 1e-3, (err_win, err_ref)
+        assert err_win < 5e-3, err_win
+
+    def test_gradicp_pointfusion_window(self, synthetic_clip):
+        frames = synthetic_clip(B=1, L=5, H=16, W=24)
+        ref = PointFusion(odom="gradicp", dsratio=2, numiters=4)
+        win = PointFusion(
+            odom="gradicp", dsratio=2, numiters=4, icp_window_frames=5
+        )
+        _, tr_ref = ref(frames)
+        _, tr_win = win(frames)
+        np.testing.assert_allclose(
+            np.asarray(tr_win), np.asarray(tr_ref), atol=1e-4
+        )
+
+    def test_validation(self):
+        with pytest.raises(ValueError):
+            ICPSLAM(odom="icp", icp_window_frames=0)
+
+
 class TestQuantizedColors:
     """Opt-in quantized-color map layout (PointFusion(quantize_colors=True)):
     geometry/trajectory/counts must be EXACTLY the float-color path's;
