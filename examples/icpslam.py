@@ -25,6 +25,12 @@ parser.add_argument("--seqlen", type=int, default=10)
 parser.add_argument("--batch_size", type=int, default=2)
 parser.add_argument("--height", type=int, default=120)
 parser.add_argument("--width", type=int, default=160)
+parser.add_argument(
+    "--icp-window-frames", type=int, default=None,
+    help="Associate odometry against only the most recent K frames' worth "
+    "of map rows (constant odometry cost per frame on long sequences; "
+    "default: whole-map reference semantics).",
+)
 parser.add_argument("--visualize", action="store_true")
 args = parser.parse_args()
 
@@ -47,7 +53,7 @@ def main():
     poses = jnp.asarray(np.stack([s[3] for s in samples]))
 
     frames = RGBDImages(colors, depths, intrinsics, poses)
-    slam = ICPSLAM(odom=args.odometry)
+    slam = ICPSLAM(odom=args.odometry, icp_window_frames=args.icp_window_frames)
     pointclouds, recovered_poses = slam(frames)
     print("map points per sequence:", np.asarray(pointclouds.num_points))
     for b in range(len(samples)):
