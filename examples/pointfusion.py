@@ -38,8 +38,24 @@ parser.add_argument(
     help="Production fast path: 8-bit colors packed into the map row "
     "(+36%% fps at 640x480; geometry/trajectory identical).",
 )
+parser.add_argument(
+    "--pyramid", type=str, default=None,
+    help="Coarse-to-fine odometry schedule 'ds:iters,ds:iters,...' "
+    "(e.g. '8:6,4:4'); coarser levels warm-start finer ones.",
+)
 parser.add_argument("--visualize", action="store_true")
 args = parser.parse_args()
+
+
+def parse_pyramid(spec):
+    """'8:6,4:4' -> [(8, 6), (4, 4)] (None passes through)."""
+    if spec is None:
+        return None
+    try:
+        return [tuple(int(x) for x in level.split(":"))
+                for level in spec.split(",")]
+    except ValueError as e:
+        raise SystemExit(f"Bad --pyramid spec {spec!r}: {e}")
 
 
 def main():
@@ -72,7 +88,11 @@ def main():
     poses = jnp.asarray(np.stack([s[3] for s in samples]))
 
     frames = RGBDImages(colors, depths, intrinsics, poses)
-    slam = PointFusion(odom=cfg.odometry, quantize_colors=args.quantize_colors)
+    slam = PointFusion(
+        odom=cfg.odometry,
+        quantize_colors=args.quantize_colors,
+        pyramid=parse_pyramid(args.pyramid),
+    )
     pointclouds, recovered_poses = slam(frames)
     if args.quantize_colors:
         pointclouds = PointFusion.decode_map(pointclouds)

@@ -47,9 +47,12 @@ class GradICPOdometryProvider(OdometryProvider):
         self,
         maps_pointclouds: Pointclouds,
         frames_pointclouds: Pointclouds,
+        initial_transform: jnp.ndarray = None,
     ) -> jnp.ndarray:
         r"""Relative transforms ``(B, 1, 4, 4)`` aligning each live-frame cloud
-        to its global map cloud."""
+        to its global map cloud. ``initial_transform (B, 4, 4)`` warm-starts
+        the solve (e.g. from a coarser pyramid level); the returned transform
+        includes it."""
         if maps_pointclouds.normals is None:
             raise ValueError(
                 "maps_pointclouds missing normals. Map normals must be provided "
@@ -61,12 +64,12 @@ class GradICPOdometryProvider(OdometryProvider):
                 f"equal ({len(maps_pointclouds)} != {len(frames_pointclouds)})."
             )
 
-        def solve_one(src, src_mask, tgt, tgt_normals, tgt_mask):
+        def solve_one(src, src_mask, tgt, tgt_normals, tgt_mask, init_T):
             transform, _ = point_to_plane_gradICP(
                 src,
                 tgt,
                 tgt_normals,
-                initial_transform=jnp.eye(4, dtype=src.dtype),
+                initial_transform=init_T,
                 numiters=self.numiters,
                 damp=self.damp,
                 dist_thresh=self.dist_thresh,
@@ -80,11 +83,17 @@ class GradICPOdometryProvider(OdometryProvider):
             )
             return transform
 
+        B = len(frames_pointclouds)
+        if initial_transform is None:
+            initial_transform = jnp.broadcast_to(
+                jnp.eye(4, dtype=frames_pointclouds.points.dtype), (B, 4, 4)
+            )
         transforms = jax.vmap(solve_one)(
             frames_pointclouds.points,
             frames_pointclouds.nonpad_mask,
             maps_pointclouds.points,
             maps_pointclouds.normals,
             maps_pointclouds.nonpad_mask,
+            initial_transform,
         )
         return transforms[:, None]

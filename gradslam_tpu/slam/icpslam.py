@@ -44,6 +44,17 @@ class ICPSLAM:
             icpslam.py:80-91).
         dsratio: downsampling ratio applied to frames and map before ICP.
         numiters / damp / dist_thresh: ICP solver parameters.
+        pyramid: optional coarse-to-fine schedule ``[(dsratio, numiters),
+            ...]`` replacing the single-level ``dsratio``/``numiters``:
+            each frame's odometry solves at the first (coarsest) level from
+            identity, then warm-starts each finer level with the previous
+            level's transform. KNN cost per iteration scales ~1/ds^4, so
+            shifting iterations to coarse levels cuts odometry cost while
+            the fine level keeps final accuracy (e.g. ``[(8, 6), (4, 4)]``
+            vs ``dsratio=4, numiters=10``). ``pyramid=[(d, n)]`` is exactly
+            ``dsratio=d, numiters=n``. A user-set ``icp_capacity`` applies
+            to every level; the default is per-level
+            ``2 * ceil(H/ds) * ceil(W/ds)``.
         lambda_max / B / B2 / nu: gradLM parameters (odom='gradicp').
         map_capacity: capacity of the global map buffer. Either a fixed int
             (default ``L * H * W`` — the aggregate worst case — at call time)
@@ -89,6 +100,7 @@ class ICPSLAM:
         odom: str = "gradicp",
         dsratio: int = 4,
         numiters: int = 20,
+        pyramid: Optional[list] = None,
         damp: float = 1e-8,
         dist_thresh: Optional[float] = None,
         lambda_max: float = 2.0,
@@ -129,17 +141,39 @@ class ICPSLAM:
             )
         self.prune_every = int(prune_every)
         self.prune_min_confidence = prune_min_confidence
-        if odom == "icp":
-            self.odomprov = ICPOdometryProvider(
-                numiters, damp, dist_thresh, lookahead_assoc
-            )
-        elif odom == "gradicp":
-            self.odomprov = GradICPOdometryProvider(
-                numiters, damp, dist_thresh, lambda_max, B, B2, nu,
-                lookahead_assoc,
-            )
+        if pyramid is not None:
+            try:
+                pyramid = [(int(d), int(n)) for d, n in pyramid]
+            except (TypeError, ValueError) as e:
+                raise ValueError(
+                    f"pyramid must be a list of (dsratio, numiters) pairs. "
+                    f"Got {pyramid!r}."
+                ) from e
+            if not pyramid or any(d < 1 or n < 1 for d, n in pyramid):
+                raise ValueError(
+                    f"pyramid levels must have dsratio >= 1 and numiters >= 1. "
+                    f"Got {pyramid!r}."
+                )
+        self.pyramid = pyramid
+
+        def make_provider(n_iters):
+            if odom == "icp":
+                return ICPOdometryProvider(
+                    n_iters, damp, dist_thresh, lookahead_assoc
+                )
+            if odom == "gradicp":
+                return GradICPOdometryProvider(
+                    n_iters, damp, dist_thresh, lambda_max, B, B2, nu,
+                    lookahead_assoc,
+                )
+            return None
+
+        if pyramid is None:
+            self.odomprov = make_provider(numiters)
+            self._pyramid_provs = None
         else:
-            self.odomprov = None
+            self._pyramid_provs = [make_provider(n) for _, n in pyramid]
+            self.odomprov = self._pyramid_provs[-1]  # finest level
         self._forward = jax.jit(self._forward_impl) if use_jit else self._forward_impl
         self._step = jax.jit(self._step_impl) if use_jit else self._step_impl
 
@@ -224,10 +258,11 @@ class ICPSLAM:
             )
         return sched
 
-    def _default_icp_capacity(self, H: int, W: int) -> int:
+    def _default_icp_capacity(self, H: int, W: int, ds: Optional[int] = None) -> int:
         if self.icp_capacity is not None:
             return self.icp_capacity
-        return 2 * math.ceil(H / self.dsratio) * math.ceil(W / self.dsratio)
+        ds = self.dsratio if ds is None else ds
+        return 2 * math.ceil(H / ds) * math.ceil(W / ds)
 
     # Map-layout knobs (overridden by PointFusion(quantize_colors=True)):
     # float colors + 1 confidence feature by default.
@@ -307,18 +342,30 @@ class ICPSLAM:
         map (reference icpslam.py:180-247). Returns poses ``(B, 1, 4, 4)``."""
         B, _, H, W = live_frame.shape
         live_frame = live_frame.with_poses(prev_frame.poses)
-        frames_pc = downsample_rgbdimages(live_frame, self.dsratio)
         target = self._icp_target_window(pointclouds, H, W)
         active = find_active_map_points(target, prev_frame)
-        maps_pc = downsample_pointclouds(
-            target,
-            active.valid,
-            active.pix_h,
-            active.pix_w,
-            self.dsratio,
-            self._default_icp_capacity(H, W),
-        )
-        transform = self.odomprov.provide(maps_pc, frames_pc)  # (B, 1, 4, 4)
+
+        def solve_level(prov, ds, init_T):
+            frames_pc = downsample_rgbdimages(live_frame, ds)
+            maps_pc = downsample_pointclouds(
+                target,
+                active.valid,
+                active.pix_h,
+                active.pix_w,
+                ds,
+                self._default_icp_capacity(H, W, ds),
+            )
+            return prov.provide(maps_pc, frames_pc, initial_transform=init_T)
+
+        if self.pyramid is None:
+            transform = solve_level(self.odomprov, self.dsratio, None)
+        else:
+            # coarse-to-fine: each level warm-starts the next (the returned
+            # transform includes the initial, so chaining composes)
+            transform = None
+            for prov, (ds, _n) in zip(self._pyramid_provs, self.pyramid):
+                init_T = None if transform is None else transform[:, 0]
+                transform = solve_level(prov, ds, init_T)
         return compose_transformations(
             transform[:, 0], prev_frame.poses[:, 0]
         )[:, None]

@@ -34,6 +34,7 @@ class PointFusion(ICPSLAM):
         sigma: Union[float, int] = 0.6,
         dsratio: int = 4,
         numiters: int = 20,
+        pyramid: Optional[list] = None,
         damp: float = 1e-8,
         dist_thresh: Optional[float] = None,
         lambda_max: float = 2.0,
@@ -57,6 +58,7 @@ class PointFusion(ICPSLAM):
             odom=odom,
             dsratio=dsratio,
             numiters=numiters,
+            pyramid=pyramid,
             damp=damp,
             dist_thresh=dist_thresh,
             lambda_max=lambda_max,

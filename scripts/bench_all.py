@@ -116,6 +116,14 @@ def run(out_path=None):
                          quantize_colors=True)
     timed("PointFusion(gradicp, reuse+quantized) 320x240 frames/s", gicp_q,
           frames, B, L, baseline=0.323)
+    # coarse-to-fine odometry: 8 iters at ds=8 + 3 at ds=4 replaces 10 at
+    # ds=4 (KNN cost ~1/ds^4 per iteration); ATE identical to the flat
+    # solve on this clip (1.3e-5 m both, measured).
+    gicp_p = PointFusion(odom="gradicp", pyramid=[(8, 8), (4, 3)],
+                         map_capacity=gicp_sched, lookahead_assoc="reuse",
+                         quantize_colors=True)
+    timed("PointFusion(gradicp, pyramid 8:8+4:3, reuse+quantized) 320x240 frames/s",
+          gicp_p, frames, B, L, baseline=0.323)
 
     # config 4: large map / long sequence (BASELINE.md #4 analogue — no
     # ScanNet data in this environment, so the same procedural scene with a

@@ -323,6 +323,59 @@ class TestCapacitySchedule:
             grown.with_capacity(8)
 
 
+class TestPyramid:
+    """Coarse-to-fine odometry (pyramid=[(dsratio, numiters), ...]): each
+    level warm-starts the next via the provider's initial_transform."""
+
+    def test_single_level_equals_flat(self, synthetic_clip):
+        frames = synthetic_clip(B=1, L=4, H=16, W=24)
+        flat = ICPSLAM(odom="icp", dsratio=2, numiters=4)
+        pyr = ICPSLAM(odom="icp", pyramid=[(2, 4)])
+        _, tr_flat = flat(frames)
+        _, tr_pyr = pyr(frames)
+        np.testing.assert_array_equal(np.asarray(tr_pyr), np.asarray(tr_flat))
+
+    def test_coarse_to_fine_tracks(self, synthetic_clip):
+        frames = synthetic_clip(B=1, L=5, H=32, W=48)
+        gt = np.asarray(frames.poses)
+        pyr = PointFusion(odom="gradicp", pyramid=[(4, 6), (2, 4)])
+        _, tr = pyr(frames)
+        err = np.abs(np.asarray(tr) - gt).max()
+        # must track GT comparably to an all-fine solve of larger cost
+        flat = PointFusion(odom="gradicp", dsratio=2, numiters=10)
+        _, tr_flat = flat(frames)
+        err_flat = np.abs(np.asarray(tr_flat) - gt).max()
+        assert err < max(2 * err_flat, 5e-3), (err, err_flat)
+
+    def test_warm_start_included_in_result(self, synthetic_clip):
+        # provider contract: the returned transform includes initial_transform
+        import jax.numpy as jnp
+
+        from gradslam_tpu.odometry import ICPOdometryProvider
+        from gradslam_tpu.odometry.icputils import downsample_rgbdimages
+
+        frames = synthetic_clip(B=1, L=2, H=16, W=24)
+        src = downsample_rgbdimages(frames[:, 1], 2)
+        tgt = downsample_rgbdimages(frames[:, 0], 2)
+        prov = ICPOdometryProvider(numiters=4)
+        t_cold = prov.provide(tgt, src)
+        t_warm = prov.provide(tgt, src, initial_transform=t_cold[:, 0])
+        # warm start from the converged solution stays at (close to) it
+        np.testing.assert_allclose(
+            np.asarray(t_warm), np.asarray(t_cold), atol=1e-3
+        )
+
+    def test_validation(self):
+        with pytest.raises(ValueError):
+            ICPSLAM(odom="icp", pyramid=[])
+        with pytest.raises(ValueError):
+            ICPSLAM(odom="icp", pyramid=[(0, 4)])
+        with pytest.raises(ValueError):
+            ICPSLAM(odom="icp", pyramid=[(4, 0)])
+        with pytest.raises(ValueError):
+            ICPSLAM(odom="icp", pyramid="nope")
+
+
 class TestICPWindowFrames:
     """icp_window_frames: odometry associates against the most recent
     window of the append-ordered map instead of projecting the whole map."""
