@@ -33,6 +33,8 @@ class GradICPOdometryProvider(OdometryProvider):
         B2: Union[float, int] = 1.0,
         nu: Union[float, int] = 200.0,
         lookahead_assoc: str = "fresh",
+        robust_loss: str = None,
+        robust_scale: Union[float, int] = 0.05,
     ):
         self.numiters = numiters
         self.damp = damp
@@ -42,6 +44,8 @@ class GradICPOdometryProvider(OdometryProvider):
         self.B2 = B2
         self.nu = nu
         self.lookahead_assoc = lookahead_assoc
+        self.robust_loss = robust_loss
+        self.robust_scale = robust_scale
 
     def provide(
         self,
@@ -80,6 +84,8 @@ class GradICPOdometryProvider(OdometryProvider):
                 src_mask=src_mask,
                 tgt_mask=tgt_mask,
                 lookahead_assoc=self.lookahead_assoc,
+                robust_loss=self.robust_loss,
+                robust_scale=self.robust_scale,
             )
             return transform
 

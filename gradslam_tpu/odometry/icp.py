@@ -29,11 +29,15 @@ class ICPOdometryProvider(OdometryProvider):
         damp: float = 1e-8,
         dist_thresh: Union[float, int, None] = None,
         lookahead_assoc: str = "fresh",
+        robust_loss: str = None,
+        robust_scale: Union[float, int] = 0.05,
     ):
         self.numiters = numiters
         self.damp = damp
         self.dist_thresh = dist_thresh
         self.lookahead_assoc = lookahead_assoc
+        self.robust_loss = robust_loss
+        self.robust_scale = robust_scale
 
     def provide(
         self,
@@ -68,6 +72,8 @@ class ICPOdometryProvider(OdometryProvider):
                 src_mask=src_mask,
                 tgt_mask=tgt_mask,
                 lookahead_assoc=self.lookahead_assoc,
+                robust_loss=self.robust_loss,
+                robust_scale=self.robust_scale,
             )
             return transform
 

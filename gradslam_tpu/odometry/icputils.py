@@ -39,6 +39,7 @@ from ..utils.precision import matmul_hp
 
 __all__ = [
     "solve_linear_system",
+    "robust_weights",
     "gauss_newton_solve",
     "point_to_plane_ICP",
     "point_to_plane_gradICP",
@@ -70,6 +71,33 @@ def solve_linear_system(A: jnp.ndarray, b: jnp.ndarray, damp=1e-8) -> jnp.ndarra
     return jnp.linalg.solve(AtA, Atb)
 
 
+def robust_weights(r: jnp.ndarray, loss: Optional[str], scale: float) -> jnp.ndarray:
+    r"""IRLS sqrt-weights for a robust loss at residuals ``r``.
+
+    Scaling a row of the linear system by ``sqrt(w(r))`` makes the normal
+    equations minimise ``sum w(r) r^2`` — the standard IRLS approximation of
+    the robust objective. All kernels are continuous in ``r`` so gradients
+    flow end-to-end (no stop_gradient).
+
+    loss: ``None`` (all-ones — plain least squares), ``'huber'``
+    (``w = min(1, scale/|r|)``) or ``'tukey'`` (``w = (1-(r/scale)^2)^2``
+    inside ``|r| <= scale``, 0 outside — hard outlier rejection).
+    """
+    if loss is None:
+        return jnp.ones_like(r)
+    a = jnp.abs(r)
+    if loss == "huber":
+        w = jnp.minimum(1.0, scale / jnp.maximum(a, 1e-12))
+    elif loss == "tukey":
+        u = jnp.clip(r / scale, -1.0, 1.0)
+        w = (1.0 - u * u) ** 2 * (a <= scale)
+    else:
+        raise ValueError(
+            f"Unknown robust loss: {loss!r}. Expected None, 'huber' or 'tukey'."
+        )
+    return jnp.sqrt(w)
+
+
 def gauss_newton_solve(
     src_pc: jnp.ndarray,  # (N, 3)
     tgt_pc: jnp.ndarray,  # (M, 3)
@@ -77,6 +105,8 @@ def gauss_newton_solve(
     src_mask: Optional[jnp.ndarray] = None,  # (N,) bool
     tgt_mask: Optional[jnp.ndarray] = None,  # (M,) bool
     dist_thresh: Optional[float] = None,
+    robust_loss: Optional[str] = None,
+    robust_scale: float = 0.05,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     r"""Linearise the point-to-plane error around the current source cloud.
 
@@ -84,27 +114,34 @@ def gauss_newton_solve(
     masked-out or distance-filtered source points are zero (the reference
     instead drops them into a dynamic-length system, icputils.py:203-230).
     ``A = [n | s x n]``, ``b = n . (d - s)`` (icputils.py:227-230).
+    ``robust_loss`` IRLS-weights the rows (see :func:`robust_weights`) —
+    a capability the reference lacks (plain least squares only).
     """
     dists, idx = nn_points_auto(src_pc, tgt_pc, tgt_mask)
     valid = jnp.ones(src_pc.shape[0], dtype=bool) if src_mask is None else src_mask
     if dist_thresh is not None:
         valid = valid & (dists < dist_thresh)
     A, b = _ptp_system(src_pc, jnp.take(tgt_pc, idx, axis=0),
-                       jnp.take(tgt_normals, idx, axis=0), valid)
+                       jnp.take(tgt_normals, idx, axis=0), valid,
+                       robust_loss, robust_scale)
     return A, b, idx
 
 
-def _ptp_system(s, assoc_pts, assoc_normals, valid):
+def _ptp_system(s, assoc_pts, assoc_normals, valid, robust_loss=None,
+                robust_scale=0.05):
     """Masked point-to-plane linear system rows for a fixed association."""
     n = assoc_normals
     sxn = jnp.cross(s, n)  # rows [nz*sy - ny*sz, nx*sz - nz*sx, ny*sx - nx*sy]
     A = jnp.concatenate([n, sxn], axis=-1)  # (N, 6)
     b = jnp.sum(n * (assoc_pts - s), axis=-1, keepdims=True)  # (N, 1)
     validf = valid[:, None].astype(A.dtype)
+    if robust_loss is not None:
+        validf = validf * robust_weights(b, robust_loss, robust_scale)
     return A * validf, b * validf
 
 
-def _reused_residual(pc, idx, tgt_pc, tgt_normals, src_mask, dist_thresh):
+def _reused_residual(pc, idx, tgt_pc, tgt_normals, src_mask, dist_thresh,
+                     robust_loss=None, robust_scale=0.05):
     """Lookahead residual with the PREVIOUS association reused: recompute only
     distances/residuals at the moved source positions (no second KNN)."""
     assoc_pts = jnp.take(tgt_pc, idx, axis=0)
@@ -113,7 +150,8 @@ def _reused_residual(pc, idx, tgt_pc, tgt_normals, src_mask, dist_thresh):
     if dist_thresh is not None:
         dists = jnp.sum((pc - assoc_pts) ** 2, axis=-1)
         valid = valid & (dists < dist_thresh)
-    _, b = _ptp_system(pc, assoc_pts, assoc_normals, valid)
+    _, b = _ptp_system(pc, assoc_pts, assoc_normals, valid, robust_loss,
+                       robust_scale)
     return b
 
 
@@ -152,6 +190,8 @@ def point_to_plane_ICP(
     src_mask: Optional[jnp.ndarray] = None,
     tgt_mask: Optional[jnp.ndarray] = None,
     lookahead_assoc: str = "fresh",
+    robust_loss: Optional[str] = None,
+    robust_scale: float = 0.05,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     r"""Point-to-plane ICP with the classic LM accept/reject loop
     (reference icputils.py:235-366), trust-region branch as ``where`` selects.
@@ -172,7 +212,8 @@ def point_to_plane_ICP(
     )
 
     def gn(pc):
-        return gauss_newton_solve(pc, tgt_pc, tgt_normals, src_mask, tgt_mask, dist_thresh)
+        return gauss_newton_solve(pc, tgt_pc, tgt_normals, src_mask, tgt_mask,
+                                  dist_thresh, robust_loss, robust_scale)
 
     def body(state: _ICPState, _):
         A, b, idx = gn(state.src_pc)
@@ -182,7 +223,8 @@ def point_to_plane_ICP(
         one_step_pc = transform_pointcloud(state.src_pc, residual_transform)
         if lookahead_assoc == "reuse":
             b1 = _reused_residual(
-                one_step_pc, idx, tgt_pc, tgt_normals, src_mask, dist_thresh
+                one_step_pc, idx, tgt_pc, tgt_normals, src_mask, dist_thresh,
+                robust_loss, robust_scale,
             )
         else:
             _, b1, _ = gn(one_step_pc)
@@ -217,6 +259,8 @@ def point_to_plane_gradICP(
     src_mask: Optional[jnp.ndarray] = None,
     tgt_mask: Optional[jnp.ndarray] = None,
     lookahead_assoc: str = "fresh",
+    robust_loss: Optional[str] = None,
+    robust_scale: float = 0.05,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     r"""Differentiable gradLM ICP (gradSLAM paper sec. gradLM; reference
     icputils.py:370-545). Smooth sigmoid-blended damping and step scaling;
@@ -237,7 +281,8 @@ def point_to_plane_gradICP(
     lambda_min = 1.0 / lambda_max
 
     def gn(pc):
-        return gauss_newton_solve(pc, tgt_pc, tgt_normals, src_mask, tgt_mask, dist_thresh)
+        return gauss_newton_solve(pc, tgt_pc, tgt_normals, src_mask, tgt_mask,
+                                  dist_thresh, robust_loss, robust_scale)
 
     def body(state: _ICPState, _):
         A, b, idx = gn(state.src_pc)
@@ -247,7 +292,8 @@ def point_to_plane_gradICP(
         one_step_pc = transform_pointcloud(state.src_pc, residual_transform)
         if lookahead_assoc == "reuse":
             b1 = _reused_residual(
-                one_step_pc, idx, tgt_pc, tgt_normals, src_mask, dist_thresh
+                one_step_pc, idx, tgt_pc, tgt_normals, src_mask, dist_thresh,
+                robust_loss, robust_scale,
             )
         else:
             _, b1, _ = gn(one_step_pc)

@@ -44,6 +44,13 @@ class ICPSLAM:
             icpslam.py:80-91).
         dsratio: downsampling ratio applied to frames and map before ICP.
         numiters / damp / dist_thresh: ICP solver parameters.
+        robust_loss / robust_scale: optional robust kernel ('huber' or
+            'tukey') IRLS-weighting the point-to-plane rows — outliers
+            (dynamic objects, depth noise) are down-weighted instead of
+            pulling the least-squares solve (the reference has plain least
+            squares only). All kernels are continuous, so differentiability
+            is preserved. ``robust_scale`` is the residual scale in meters
+            (Huber knee / Tukey cutoff).
         pyramid: optional coarse-to-fine schedule ``[(dsratio, numiters),
             ...]`` replacing the single-level ``dsratio``/``numiters``:
             each frame's odometry solves at the first (coarsest) level from
@@ -103,6 +110,8 @@ class ICPSLAM:
         pyramid: Optional[list] = None,
         damp: float = 1e-8,
         dist_thresh: Optional[float] = None,
+        robust_loss: Optional[str] = None,
+        robust_scale: float = 0.05,
         lambda_max: float = 2.0,
         B: float = 1.0,
         B2: float = 1.0,
@@ -156,15 +165,24 @@ class ICPSLAM:
                 )
         self.pyramid = pyramid
 
+        if robust_loss not in (None, "huber", "tukey"):
+            raise ValueError(
+                f"Unknown robust_loss: {robust_loss!r}. "
+                "Expected None, 'huber' or 'tukey'."
+            )
+        self.robust_loss = robust_loss
+        self.robust_scale = robust_scale
+
         def make_provider(n_iters):
             if odom == "icp":
                 return ICPOdometryProvider(
-                    n_iters, damp, dist_thresh, lookahead_assoc
+                    n_iters, damp, dist_thresh, lookahead_assoc,
+                    robust_loss, robust_scale,
                 )
             if odom == "gradicp":
                 return GradICPOdometryProvider(
                     n_iters, damp, dist_thresh, lambda_max, B, B2, nu,
-                    lookahead_assoc,
+                    lookahead_assoc, robust_loss, robust_scale,
                 )
             return None
 

@@ -37,6 +37,8 @@ class PointFusion(ICPSLAM):
         pyramid: Optional[list] = None,
         damp: float = 1e-8,
         dist_thresh: Optional[float] = None,
+        robust_loss: Optional[str] = None,
+        robust_scale: float = 0.05,
         lambda_max: float = 2.0,
         B: float = 1.0,
         B2: float = 1.0,
@@ -61,6 +63,8 @@ class PointFusion(ICPSLAM):
             pyramid=pyramid,
             damp=damp,
             dist_thresh=dist_thresh,
+            robust_loss=robust_loss,
+            robust_scale=robust_scale,
             lambda_max=lambda_max,
             B=B,
             B2=B2,

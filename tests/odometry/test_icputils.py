@@ -78,6 +78,88 @@ class TestGaussNewton:
         assert np.allclose(np.asarray(A)[0], 0.0)
 
 
+class TestRobustLoss:
+    """IRLS robust kernels (huber/tukey) — beyond-reference capability."""
+
+    def test_weight_values(self):
+        from gradslam_tpu.odometry.icputils import robust_weights
+
+        r = jnp.asarray([0.0, 0.05, 0.1, -0.2])
+        # huber, scale 0.1: w = min(1, scale/|r|); returned sqrt(w)
+        w_h = np.asarray(robust_weights(r, "huber", 0.1)) ** 2
+        np.testing.assert_allclose(w_h, [1.0, 1.0, 1.0, 0.5], atol=1e-6)
+        # tukey, scale 0.1: w = (1-(r/c)^2)^2 inside, 0 outside
+        w_t = np.asarray(robust_weights(r, "tukey", 0.1)) ** 2
+        np.testing.assert_allclose(w_t, [1.0, 0.5625, 0.0, 0.0], atol=1e-6)
+        # None = all ones
+        np.testing.assert_array_equal(np.asarray(robust_weights(r, None, 0.1)), 1.0)
+        with pytest.raises(ValueError):
+            robust_weights(r, "cauchy", 0.1)
+
+    @pytest.mark.parametrize("solver", [point_to_plane_ICP, point_to_plane_gradICP])
+    @pytest.mark.parametrize("loss", ["huber", "tukey"])
+    def test_outlier_recovery(self, solver, loss):
+        """With 15% of SOURCE points displaced far off the surface (every
+        source row contributes a residual via its nearest neighbour — e.g. a
+        dynamic object in the live frame), the robust solve must recover the
+        transform much better than plain least squares."""
+        tgt, n = wavy_surface()
+        xi_true = jnp.asarray([0.02, -0.03, 0.01, 0.02, -0.015, 0.025])
+        T_true = se3_exp(xi_true)
+        src = np.asarray(
+            transform_pointcloud(jnp.asarray(tgt), jnp.linalg.inv(T_true))
+        )
+        rng = np.random.RandomState(3)
+        bad = rng.rand(len(src)) < 0.15
+        src_bad = src.copy()
+        src_bad[bad] += (
+            rng.randn(bad.sum(), 3).astype(np.float32) * 0.3
+            + np.asarray([0.0, 0.0, 0.4], np.float32)  # biased: drags the fit
+        )
+        T_plain, _ = solver(jnp.asarray(src_bad), jnp.asarray(tgt),
+                            jnp.asarray(n), numiters=20)
+        T_rob, _ = solver(jnp.asarray(src_bad), jnp.asarray(tgt),
+                          jnp.asarray(n), numiters=20,
+                          robust_loss=loss, robust_scale=0.05)
+        err_plain = np.abs(np.asarray(T_plain) - np.asarray(T_true)).max()
+        err_rob = np.abs(np.asarray(T_rob) - np.asarray(T_true)).max()
+        assert err_rob < 0.5 * err_plain, (err_rob, err_plain)
+        # tukey fully rejects outliers; huber only down-weights them, so a
+        # small residual bias remains under this biased corruption
+        assert err_rob < (5e-3 if loss == "tukey" else 2e-2), err_rob
+
+    def test_clean_data_unaffected(self):
+        """On clean data the huber solve (scale >= residuals) equals plain."""
+        tgt, n = wavy_surface()
+        xi_true = jnp.asarray([0.01, -0.01, 0.005, 0.01, -0.005, 0.01])
+        T_true = se3_exp(xi_true)
+        src = transform_pointcloud(jnp.asarray(tgt), jnp.linalg.inv(T_true))
+        T, _ = point_to_plane_ICP(src, jnp.asarray(tgt), jnp.asarray(n),
+                                  numiters=20, robust_loss="huber",
+                                  robust_scale=10.0)
+        np.testing.assert_allclose(np.asarray(T), np.asarray(T_true), atol=1e-4)
+
+    def test_gradicp_robust_differentiable(self):
+        tgt, n = wavy_surface()
+        xi_true = jnp.asarray([0.01, -0.01, 0.005, 0.0, 0.01, -0.005])
+        T_true = se3_exp(xi_true)
+        src = transform_pointcloud(jnp.asarray(tgt), jnp.linalg.inv(T_true))
+
+        def loss_fn(s):
+            T, _ = point_to_plane_gradICP(s, jnp.asarray(tgt), jnp.asarray(n),
+                                          numiters=3, robust_loss="huber")
+            return jnp.sum((T - jnp.eye(4)) ** 2)
+
+        g = jax.grad(loss_fn)(src)
+        assert np.all(np.isfinite(np.asarray(g)))
+        assert float(jnp.abs(g).sum()) > 0
+
+    def test_pipeline_robust_tracks(self):
+        from gradslam_tpu import ICPSLAM
+        with pytest.raises(ValueError):
+            ICPSLAM(odom="icp", robust_loss="cauchy")
+
+
 class TestICPRecovery:
     @pytest.mark.parametrize("solver", [point_to_plane_ICP, point_to_plane_gradICP])
     def test_recovers_known_transform(self, solver):
