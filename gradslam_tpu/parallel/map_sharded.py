@@ -198,6 +198,8 @@ class MapShardedPointFusion:
         B2: float = 1.0,
         nu: float = 200.0,
         lookahead_assoc: str = "fresh",
+        robust_loss: Optional[str] = None,
+        robust_scale: float = 0.05,
         icp_capacity: Optional[int] = None,
         dist_th: float = 0.05,
         angle_th: float = 20.0,
@@ -228,6 +230,13 @@ class MapShardedPointFusion:
         self.B2 = B2
         self.nu = nu
         self.lookahead_assoc = lookahead_assoc
+        if robust_loss not in (None, "huber", "tukey"):
+            raise ValueError(
+                f"Unknown robust_loss: {robust_loss!r}. "
+                "Expected None, 'huber' or 'tukey'."
+            )
+        self.robust_loss = robust_loss
+        self.robust_scale = robust_scale
         self.icp_capacity = icp_capacity
         self.dist_th = dist_th
         self.dot_th = math.cos(angle_th * math.pi / 180.0)
@@ -263,6 +272,8 @@ class MapShardedPointFusion:
             src_mask=src_mask,
             tgt_mask=tgt_mask,
             lookahead_assoc=self.lookahead_assoc,
+            robust_loss=self.robust_loss,
+            robust_scale=self.robust_scale,
         )
         if self.odom == "icp":
             T, _ = point_to_plane_ICP(src, tgt, tgt_normals, **kw)

@@ -126,6 +126,30 @@ class TestMapShardedFusion:
         )
         assert int(np.asarray(smap.num_points).sum()) > 0
 
+    def test_tracked_robust_matches_single_device(self, mesh):
+        """robust_loss on the sharded tracked path matches the single-device
+        robust pipeline (same IRLS weights, replicated solve)."""
+        B, L, H, W = 1, 3, 16, 24
+        frames = synthetic_frames(B, L=L, H=H, W=W)
+        cap = 8 * 256
+
+        single = PointFusion(odom="icp", dsratio=2, numiters=4,
+                             map_capacity=cap, robust_loss="huber",
+                             robust_scale=0.05)
+        _, poses_s = single(frames)
+
+        sharded = MapShardedPointFusion(
+            map_capacity=cap, mesh=mesh, odom="icp", dsratio=2, numiters=4,
+            robust_loss="huber", robust_scale=0.05,
+        )
+        _, poses_m = sharded(frames)
+        np.testing.assert_allclose(
+            np.asarray(poses_m), np.asarray(poses_s), atol=1e-4
+        )
+        with pytest.raises(ValueError):
+            MapShardedPointFusion(map_capacity=cap, mesh=mesh,
+                                  robust_loss="cauchy")
+
     def test_quantized_colors_matches_single_device(self, mesh):
         """quantize_colors on the sharded path: same point set as the exact
         single-device run; colors 8-bit-quantized; packed slice is 1-wide."""
