@@ -101,6 +101,14 @@ def run(out_path=None):
     )
     timed("ICPSLAM(icp, 2-frame window) 320x240 frames/s", icp_w, frames, B, L,
           baseline=0.121)
+    # production-best ICPSLAM: recency window + coarse-to-fine (ATE on this
+    # clip improves: 3.9e-5 m vs 4.7e-5 flat-windowed)
+    icp_wp = ICPSLAM(
+        odom="icp", pyramid=[(8, 8), (4, 3)], icp_window_frames=2,
+        map_capacity=[(5, (i + 1) * 5 * H * W) for i in range(6)],
+    )
+    timed("ICPSLAM(icp, window+pyramid) 320x240 frames/s", icp_wp, frames, B, L,
+          baseline=0.121)
     gicp_sched = [(10, 98_304), (10, 122_880), (10, 147_456)]
     gicp = PointFusion(odom="gradicp", dsratio=4, numiters=10,
                        map_capacity=gicp_sched)

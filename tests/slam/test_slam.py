@@ -365,6 +365,24 @@ class TestPyramid:
             np.asarray(t_warm), np.asarray(t_cold), atol=1e-3
         )
 
+    def test_tracked_step_equals_forward(self, synthetic_clip):
+        """Online step() with pyramid odometry must reproduce the scanned
+        forward trajectory (tracked-odometry online parity)."""
+        L = 4
+        frames = synthetic_clip(B=1, L=L, H=16, W=24)
+        slam = ICPSLAM(odom="icp", pyramid=[(2, 3)], map_capacity=L * 16 * 24)
+        _, tr_fwd = slam(frames)
+
+        pc = slam.empty_map(1, L * 16 * 24)
+        pc, poses = slam.step(pc, frames[:, 0])  # bootstrap: live pose
+        traj = [poses]
+        for s in range(1, L):
+            prev = frames[:, s - 1].with_poses(traj[-1])
+            pc, poses = slam.step(pc, frames[:, s], prev)
+            traj.append(poses)
+        tr_online = np.concatenate([np.asarray(p) for p in traj], axis=1)
+        np.testing.assert_allclose(tr_online, np.asarray(tr_fwd), atol=1e-5)
+
     def test_validation(self):
         with pytest.raises(ValueError):
             ICPSLAM(odom="icp", pyramid=[])
