@@ -175,6 +175,9 @@ class MapShardedPointFusion:
         odom: 'gt' (poses given), 'icp' or 'gradicp' (frame-to-map tracking
             with the solver replicated across shards and the ICP target
             all-gathered from per-shard active windows).
+        pyramid: optional coarse-to-fine ``[(dsratio, numiters), ...]``
+            schedule (see :class:`gradslam_tpu.ICPSLAM`) — each level
+            all-gathers its own target window and warm-starts the next.
         icp_capacity: per-shard active-window size for the ICP target
             (default: the single-device window ``2*ceil(H/ds)*ceil(W/ds)`` —
             sized so even a maximally imbalanced shard fits its actives).
@@ -191,6 +194,7 @@ class MapShardedPointFusion:
         odom: str = "gt",
         dsratio: int = 4,
         numiters: int = 20,
+        pyramid: Optional[list] = None,
         damp: float = 1e-8,
         dist_thresh: Optional[float] = None,
         lambda_max: float = 2.0,
@@ -223,6 +227,20 @@ class MapShardedPointFusion:
         self.odom = odom
         self.dsratio = dsratio
         self.numiters = numiters
+        if pyramid is not None:
+            try:
+                pyramid = [(int(d), int(n)) for d, n in pyramid]
+            except (TypeError, ValueError) as e:
+                raise ValueError(
+                    f"pyramid must be a list of (dsratio, numiters) pairs. "
+                    f"Got {pyramid!r}."
+                ) from e
+            if not pyramid or any(d < 1 or n < 1 for d, n in pyramid):
+                raise ValueError(
+                    f"pyramid levels must have dsratio >= 1 and numiters >= 1. "
+                    f"Got {pyramid!r}."
+                )
+        self.pyramid = pyramid
         self.damp = damp
         self.dist_thresh = dist_thresh
         self.lambda_max = lambda_max
@@ -263,10 +281,13 @@ class MapShardedPointFusion:
 
     # ------------------------------------------------------------------ #
 
-    def _solve_one(self, src, src_mask, tgt, tgt_normals, tgt_mask):
+    def _solve_one(self, src, src_mask, tgt, tgt_normals, tgt_mask,
+                   init_T=None, numiters=None):
         kw = dict(
-            initial_transform=jnp.eye(4, dtype=src.dtype),
-            numiters=self.numiters,
+            initial_transform=(
+                jnp.eye(4, dtype=src.dtype) if init_T is None else init_T
+            ),
+            numiters=self.numiters if numiters is None else numiters,
             damp=self.damp,
             dist_thresh=self.dist_thresh,
             src_mask=src_mask,
@@ -313,16 +334,24 @@ class MapShardedPointFusion:
                 jnp.eye(4, dtype=frames.depth_image.dtype), (L, B, 4, 4))
 
         if tracked:
-            # Strided local frame clouds for ICP (reference icputils.py:623).
-            sl = frames.vertex_map[:, :, ::ds, ::ds].reshape(B, L, -1, 3)
-            sv = frames.valid_depth_mask[:, :, ::ds, ::ds].reshape(B, L, -1)
-            sl = jnp.moveaxis(sl, 1, 0)  # (L, B, Nf, 3)
-            sv = jnp.moveaxis(sv, 1, 0)
-            win = (self.icp_capacity if self.icp_capacity is not None
-                   else 2 * math.ceil(H / ds) * math.ceil(W / ds))
+            # Strided local frame clouds for ICP (reference icputils.py:623),
+            # one per pyramid level (single level = flat dsratio/numiters).
+            levels = self.pyramid or [(ds, self.numiters)]
+            sls, svs, wins = [], [], []
+            for ds_l, _n in levels:
+                sl_l = frames.vertex_map[:, :, ::ds_l, ::ds_l].reshape(B, L, -1, 3)
+                sv_l = frames.valid_depth_mask[:, :, ::ds_l, ::ds_l].reshape(B, L, -1)
+                sls.append(jnp.moveaxis(sl_l, 1, 0))  # (L, B, Nf_l, 3)
+                svs.append(jnp.moveaxis(sv_l, 1, 0))
+                wins.append(
+                    self.icp_capacity if self.icp_capacity is not None
+                    else 2 * math.ceil(H / ds_l) * math.ceil(W / ds_l)
+                )
+            sl, sv = tuple(sls), tuple(svs)
         else:
+            levels = []
             sl = sv = None
-            win = 0
+            wins = []
 
         dist_th, dot_th = self.dist_th, self.dot_th
         GCAP = jnp.int32(K * C)
@@ -449,26 +478,37 @@ class MapShardedPointFusion:
                 m = vd[..., None]
                 return jnp.where(m, gv, 0.0), jnp.where(m, gn, 0.0)
 
-            def localize(state, pose_prev, s_loc, s_valid):
-                """Frame-to-map odometry (reference icpslam.py:180-247)."""
+            def localize(state, pose_prev, s_locs, s_valids):
+                """Frame-to-map odometry (reference icpslam.py:180-247),
+                coarse-to-fine over ``levels`` (each level's all-gathered
+                target window warm-starts the next solve)."""
                 pts, nrm, _col, _feat, nloc, _nd = state
                 nonpad = lidx < nloc[:, None]
                 valid, pix = _project_map_points(
                     pts, nonpad, pose_prev, intr, H, W)
                 ph, pw = pix // W, pix % W
-                keep = valid & (ph % ds == 0) & (pw % ds == 0)
                 packed = jnp.concatenate(
                     [pts, nrm, jnp.zeros((B, C, 2), pts.dtype)], axis=-1)
-                window, counts = compact_masked(packed, keep, win)  # (B,win,8)
-                aw = jax.lax.all_gather(window, axis, axis=0)  # (K,B,win,8)
-                ac = jax.lax.all_gather(counts, axis, axis=0)  # (K,B)
-                tgt = jnp.moveaxis(aw, 0, 1).reshape(B, K * win, 8)
-                tmask = (jnp.arange(win, dtype=jnp.int32)[None, None]
-                         < ac[..., None])  # (K,B,win)
-                tmask = jnp.moveaxis(tmask, 0, 1).reshape(B, K * win)
-                src = _transform_pts(s_loc, pose_prev)
-                T = jax.vmap(self._solve_one)(
-                    src, s_valid, tgt[..., :3], tgt[..., 3:6], tmask)
+                T = jnp.broadcast_to(
+                    jnp.eye(4, dtype=pts.dtype), (B, 4, 4))
+                for li, (ds_l, n_l) in enumerate(levels):
+                    win = wins[li]
+                    keep = valid & (ph % ds_l == 0) & (pw % ds_l == 0)
+                    window, counts = compact_masked(packed, keep, win)
+                    aw = jax.lax.all_gather(window, axis, axis=0)  # (K,B,win,8)
+                    ac = jax.lax.all_gather(counts, axis, axis=0)  # (K,B)
+                    tgt = jnp.moveaxis(aw, 0, 1).reshape(B, K * win, 8)
+                    tmask = (jnp.arange(win, dtype=jnp.int32)[None, None]
+                             < ac[..., None])  # (K,B,win)
+                    tmask = jnp.moveaxis(tmask, 0, 1).reshape(B, K * win)
+                    src = _transform_pts(s_locs[li], pose_prev)
+
+                    def solve(s, m, t, tn, tm, i, _n=n_l):
+                        return self._solve_one(s, m, t, tn, tm, i, _n)
+
+                    T = jax.vmap(solve)(
+                        src, s_valids[li], tgt[..., :3], tgt[..., 3:6],
+                        tmask, T)
                 return compose_transformations(T, pose_prev)
 
             # ---- frame 0: fuse at the bootstrap pose ----
@@ -508,7 +548,7 @@ class MapShardedPointFusion:
                 (state, _), rest = jax.lax.scan(
                     body, (state, pose0),
                     (lv[1:], ln[1:], fc[1:], fa[1:], fvalid[1:],
-                     sl[1:], sv[1:]))
+                     tuple(x[1:] for x in sl), tuple(x[1:] for x in sv)))
                 poses_out = jnp.concatenate([pose0[None], rest], axis=0)
 
             pts, nrm, col, feat, nloc, ndrop = state
@@ -527,8 +567,8 @@ class MapShardedPointFusion:
             # static varying-axes checker can't prove it
             check_vma=not tracked,
         )(lv, ln, fc, fa, fvalid, poses_in, intr,
-          sl if sl is not None else jnp.zeros((L, B, 1, 3), jnp.float32),
-          sv if sv is not None else jnp.zeros((L, B, 1), bool))
+          sl if sl is not None else (jnp.zeros((L, B, 1, 3), jnp.float32),),
+          sv if sv is not None else (jnp.zeros((L, B, 1), bool),))
         pts, nrm, col, feat, nums, ndrops, poses_out = fused
         return (ShardedMap(pts, nrm, col, feat, nums, ndrops),
                 jnp.moveaxis(poses_out, 0, 1))

@@ -126,6 +126,30 @@ class TestMapShardedFusion:
         )
         assert int(np.asarray(smap.num_points).sum()) > 0
 
+    def test_tracked_pyramid_matches_single_device(self, mesh):
+        """Coarse-to-fine odometry on the sharded path: per-level windows
+        all-gathered, warm-started solve; trajectory matches the
+        single-device pyramid pipeline."""
+        B, L, H, W = 1, 3, 16, 24
+        frames = synthetic_frames(B, L=L, H=H, W=W)
+        cap = 8 * 256
+
+        single = PointFusion(odom="gradicp", pyramid=[(4, 4), (2, 3)],
+                             map_capacity=cap)
+        _, poses_s = single(frames)
+
+        sharded = MapShardedPointFusion(
+            map_capacity=cap, mesh=mesh, odom="gradicp",
+            pyramid=[(4, 4), (2, 3)],
+        )
+        _, poses_m = sharded(frames)
+        np.testing.assert_allclose(
+            np.asarray(poses_m), np.asarray(poses_s), atol=1e-4
+        )
+        with pytest.raises(ValueError):
+            MapShardedPointFusion(map_capacity=cap, mesh=mesh,
+                                  pyramid=[(0, 1)])
+
     def test_tracked_robust_matches_single_device(self, mesh):
         """robust_loss on the sharded tracked path matches the single-device
         robust pipeline (same IRLS weights, replicated solve)."""
