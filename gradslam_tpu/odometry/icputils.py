@@ -90,12 +90,15 @@ def robust_weights(r: jnp.ndarray, loss: Optional[str], scale: float) -> jnp.nda
         w = jnp.minimum(1.0, scale / jnp.maximum(a, 1e-12))
     elif loss == "tukey":
         u = jnp.clip(r / scale, -1.0, 1.0)
-        w = (1.0 - u * u) ** 2 * (a <= scale)
+        w = (1.0 - u * u) ** 2
     else:
         raise ValueError(
             f"Unknown robust loss: {loss!r}. Expected None, 'huber' or 'tukey'."
         )
-    return jnp.sqrt(w)
+    # sqrt at exactly 0 has an infinite derivative (tukey rows at/beyond the
+    # cutoff have w == 0): double-where so the backward pass stays finite.
+    pos = w > 0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, w, 1.0)), 0.0)
 
 
 def gauss_newton_solve(

@@ -48,9 +48,15 @@ def nn_points_auto(src, tgt, tgt_mask=None):
     if _resolve_backend(tgt) == "pallas":
         import jax
 
-        d, i = nn_points_pallas(src, tgt, tgt_mask)
-        # association indices/distances are non-differentiable plumbing
-        return jax.lax.stop_gradient(d), i
+        # Association indices/distances are non-differentiable plumbing.
+        # Stop gradients at the INPUTS, not the outputs: pallas_call has no
+        # JVP rule, so if tangents reach it, jax.grad fails to linearize the
+        # trace even when the outputs' cotangents are stopped (differentiating
+        # a tracked pipeline on TPU would crash).
+        sg = jax.lax.stop_gradient
+        return nn_points_pallas(
+            sg(src), sg(tgt), None if tgt_mask is None else sg(tgt_mask)
+        )
     return nn_points(src, tgt, tgt_mask)
 
 

@@ -49,7 +49,7 @@ def run(out_path=None):
 
     results = []
 
-    def timed(tag, slam, frames, B, L, iters=4, baseline=None):
+    def timed(tag, slam, frames, B, L, iters=4, baseline=None, ate=False):
         # On-device checksum readback: host-side indexing like
         # pc.num_points[0] dispatches a remote dynamic_slice per access on
         # tunneled backends (~6 ms/frame of pure RTT).
@@ -62,6 +62,11 @@ def run(out_path=None):
         _ = float(c)
         dropped = int(np.asarray(pc.num_dropped).sum())
         assert dropped == 0, f"{tag}: map overflowed ({dropped} rows dropped)"
+        ate_m = None
+        if ate:
+            from gradslam_tpu.metrics import ate_rmse
+
+            ate_m = float(ate_rmse(op[0], frames.poses[0]))
         t0 = time.perf_counter()
         outs = [go(frames) for _i in range(iters)]
         for pc, op, c in outs:
@@ -70,6 +75,8 @@ def run(out_path=None):
         entry = {"metric": tag, "value": round(B * L / dt, 2), "unit": "frames/s"}
         if baseline:
             entry["vs_baseline"] = round(B * L / dt / baseline, 1)
+        if ate_m is not None:
+            entry["ate_m"] = round(ate_m, 7)  # tracking accuracy vs GT poses
         results.append(entry)
 
     # config 2/3: tracked odometry at 320x240 (dsratio 4). Capacities are
@@ -90,7 +97,8 @@ def run(out_path=None):
         odom="icp", dsratio=4, numiters=10,
         map_capacity=[(5, (i + 1) * 5 * H * W) for i in range(6)],
     )
-    timed("ICPSLAM(icp) 320x240 frames/s", icp, frames, B, L, baseline=0.121)
+    timed("ICPSLAM(icp) 320x240 frames/s", icp, frames, B, L, baseline=0.121,
+          ate=True)
     # recency-window odometry: associate against the latest 2 frames' worth
     # of map rows instead of projecting the whole (growing) aggregate map —
     # constant odometry cost per frame, tracks at least as well (stale
@@ -100,7 +108,7 @@ def run(out_path=None):
         map_capacity=[(5, (i + 1) * 5 * H * W) for i in range(6)],
     )
     timed("ICPSLAM(icp, 2-frame window) 320x240 frames/s", icp_w, frames, B, L,
-          baseline=0.121)
+          baseline=0.121, ate=True)
     # production-best ICPSLAM: recency window + coarse-to-fine (ATE on this
     # clip improves: 3.9e-5 m vs 4.7e-5 flat-windowed)
     icp_wp = ICPSLAM(
@@ -108,22 +116,23 @@ def run(out_path=None):
         map_capacity=[(5, (i + 1) * 5 * H * W) for i in range(6)],
     )
     timed("ICPSLAM(icp, window+pyramid) 320x240 frames/s", icp_wp, frames, B, L,
-          baseline=0.121)
+          baseline=0.121, ate=True)
     gicp_sched = [(10, 98_304), (10, 122_880), (10, 147_456)]
     gicp = PointFusion(odom="gradicp", dsratio=4, numiters=10,
                        map_capacity=gicp_sched)
-    timed("PointFusion(gradicp) 320x240 frames/s", gicp, frames, B, L, baseline=0.323)
+    timed("PointFusion(gradicp) 320x240 frames/s", gicp, frames, B, L,
+          baseline=0.323, ate=True)
     gicp_r = PointFusion(odom="gradicp", dsratio=4, numiters=10,
                          map_capacity=gicp_sched, lookahead_assoc="reuse")
     timed("PointFusion(gradicp, reuse lookahead) 320x240 frames/s", gicp_r,
-          frames, B, L, baseline=0.323)
+          frames, B, L, baseline=0.323, ate=True)
     # production-best: reuse lookahead + quantized-color map (geometry and
     # trajectory identical; colors 8-bit)
     gicp_q = PointFusion(odom="gradicp", dsratio=4, numiters=10,
                          map_capacity=gicp_sched, lookahead_assoc="reuse",
                          quantize_colors=True)
     timed("PointFusion(gradicp, reuse+quantized) 320x240 frames/s", gicp_q,
-          frames, B, L, baseline=0.323)
+          frames, B, L, baseline=0.323, ate=True)
     # coarse-to-fine odometry: 8 iters at ds=8 + 3 at ds=4 replaces 10 at
     # ds=4 (KNN cost ~1/ds^4 per iteration); ATE identical to the flat
     # solve on this clip (1.3e-5 m both, measured).
@@ -131,7 +140,7 @@ def run(out_path=None):
                          map_capacity=gicp_sched, lookahead_assoc="reuse",
                          quantize_colors=True)
     timed("PointFusion(gradicp, pyramid 8:8+4:3, reuse+quantized) 320x240 frames/s",
-          gicp_p, frames, B, L, baseline=0.323)
+          gicp_p, frames, B, L, baseline=0.323, ate=True)
 
     # config 4: large map / long sequence (BASELINE.md #4 analogue — no
     # ScanNet data in this environment, so the same procedural scene with a

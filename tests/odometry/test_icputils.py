@@ -139,18 +139,24 @@ class TestRobustLoss:
                                   robust_scale=10.0)
         np.testing.assert_allclose(np.asarray(T), np.asarray(T_true), atol=1e-4)
 
-    def test_gradicp_robust_differentiable(self):
+    @pytest.mark.parametrize("loss", ["huber", "tukey"])
+    def test_gradicp_robust_differentiable(self, loss):
+        """Finite gradients even with rows AT the tukey cutoff (w == 0, where
+        a naive sqrt(w) backward would produce inf * 0 = NaN)."""
         tgt, n = wavy_surface()
         xi_true = jnp.asarray([0.01, -0.01, 0.005, 0.0, 0.01, -0.005])
         T_true = se3_exp(xi_true)
-        src = transform_pointcloud(jnp.asarray(tgt), jnp.linalg.inv(T_true))
+        src = np.array(
+            transform_pointcloud(jnp.asarray(tgt), jnp.linalg.inv(T_true))
+        )
+        src[:50] += 1.0  # rows far beyond the cutoff -> zero tukey weight
 
         def loss_fn(s):
             T, _ = point_to_plane_gradICP(s, jnp.asarray(tgt), jnp.asarray(n),
-                                          numiters=3, robust_loss="huber")
+                                          numiters=3, robust_loss=loss)
             return jnp.sum((T - jnp.eye(4)) ** 2)
 
-        g = jax.grad(loss_fn)(src)
+        g = jax.grad(loss_fn)(jnp.asarray(src))
         assert np.all(np.isfinite(np.asarray(g)))
         assert float(jnp.abs(g).sum()) > 0
 

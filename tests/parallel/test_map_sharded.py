@@ -126,6 +126,7 @@ class TestMapShardedFusion:
         )
         assert int(np.asarray(smap.num_points).sum()) > 0
 
+    @pytest.mark.slow
     def test_tracked_pyramid_matches_single_device(self, mesh):
         """Coarse-to-fine odometry on the sharded path: per-level windows
         all-gathered, warm-started solve; trajectory matches the
@@ -150,6 +151,7 @@ class TestMapShardedFusion:
             MapShardedPointFusion(map_capacity=cap, mesh=mesh,
                                   pyramid=[(0, 1)])
 
+    @pytest.mark.slow
     def test_tracked_robust_matches_single_device(self, mesh):
         """robust_loss on the sharded tracked path matches the single-device
         robust pipeline (same IRLS weights, replicated solve)."""

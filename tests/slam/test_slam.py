@@ -335,6 +335,7 @@ class TestPyramid:
         _, tr_pyr = pyr(frames)
         np.testing.assert_array_equal(np.asarray(tr_pyr), np.asarray(tr_flat))
 
+    @pytest.mark.slow
     def test_coarse_to_fine_tracks(self, synthetic_clip):
         frames = synthetic_clip(B=1, L=5, H=32, W=48)
         gt = np.asarray(frames.poses)
