@@ -395,6 +395,36 @@ class TestPyramid:
             ICPSLAM(odom="icp", pyramid="nope")
 
 
+class TestProductionStack:
+    """All opt-in odometry levers composed (the bench production configs):
+    window + pyramid + robust + reuse lookahead must track and not drop."""
+
+    def test_icpslam_full_stack(self, synthetic_clip):
+        frames = synthetic_clip(B=1, L=6, H=16, W=24)
+        gt = np.asarray(frames.poses)
+        slam = ICPSLAM(
+            odom="icp", pyramid=[(4, 4), (2, 3)], icp_window_frames=2,
+            robust_loss="huber", lookahead_assoc="reuse",
+        )
+        pc, tr = slam(frames)
+        assert int(np.asarray(pc.num_dropped).sum()) == 0
+        assert np.abs(np.asarray(tr) - gt).max() < 5e-3
+
+    def test_pointfusion_full_stack(self, synthetic_clip):
+        frames = synthetic_clip(B=1, L=5, H=16, W=24)
+        gt = np.asarray(frames.poses)
+        slam = PointFusion(
+            odom="gradicp", pyramid=[(4, 4), (2, 3)], robust_loss="tukey",
+            robust_scale=0.1, lookahead_assoc="reuse", quantize_colors=True,
+        )
+        pc, tr = slam(frames)
+        assert int(np.asarray(pc.num_dropped).sum()) == 0
+        assert np.abs(np.asarray(tr) - gt).max() < 5e-3
+        # quantized layout round-trips through decode_map
+        dec = PointFusion.decode_map(pc)
+        assert dec.colors is not None and dec.features.shape[-1] == 1
+
+
 class TestICPWindowFrames:
     """icp_window_frames: odometry associates against the most recent
     window of the append-ordered map instead of projecting the whole map."""
