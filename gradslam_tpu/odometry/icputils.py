@@ -40,6 +40,8 @@ from ..utils.precision import matmul_hp
 __all__ = [
     "solve_linear_system",
     "robust_weights",
+    "validate_robust",
+    "validate_pyramid",
     "gauss_newton_solve",
     "point_to_plane_ICP",
     "point_to_plane_gradICP",
@@ -85,20 +87,64 @@ def robust_weights(r: jnp.ndarray, loss: Optional[str], scale: float) -> jnp.nda
     """
     if loss is None:
         return jnp.ones_like(r)
-    a = jnp.abs(r)
+    # Both kernels' SQRT-weights have closed forms, so no sqrt (and no
+    # sqrt-at-zero gradient guard) is needed:
+    #   huber: sqrt(min(1, scale/|r|)) = min(1, sqrt(scale/|r|))
+    #   tukey: sqrt((1-u^2)^2) = 1 - u^2   (u clipped to [-1, 1])
     if loss == "huber":
-        w = jnp.minimum(1.0, scale / jnp.maximum(a, 1e-12))
-    elif loss == "tukey":
+        a = jnp.abs(r)
+        return jnp.minimum(1.0, jnp.sqrt(scale / jnp.maximum(a, 1e-12)))
+    if loss == "tukey":
         u = jnp.clip(r / scale, -1.0, 1.0)
-        w = (1.0 - u * u) ** 2
-    else:
+        return 1.0 - u * u
+    raise ValueError(
+        f"Unknown robust loss: {loss!r}. Expected None, 'huber' or 'tukey'."
+    )
+
+
+def validate_robust(robust_loss, robust_scale) -> None:
+    """Constructor-time validation of robust-kernel parameters (shared by the
+    single-device and map-sharded pipelines)."""
+    if robust_loss not in (None, "huber", "tukey"):
         raise ValueError(
-            f"Unknown robust loss: {loss!r}. Expected None, 'huber' or 'tukey'."
+            f"Unknown robust_loss: {robust_loss!r}. "
+            "Expected None, 'huber' or 'tukey'."
         )
-    # sqrt at exactly 0 has an infinite derivative (tukey rows at/beyond the
-    # cutoff have w == 0): double-where so the backward pass stays finite.
-    pos = w > 0
-    return jnp.where(pos, jnp.sqrt(jnp.where(pos, w, 1.0)), 0.0)
+    if robust_loss is not None and not robust_scale > 0:
+        # scale == 0 zeroes every IRLS weight: A and b become all-zero and
+        # the solver silently becomes a no-op — fail loudly instead.
+        raise ValueError(
+            f"robust_scale must be > 0. Got {robust_scale}."
+        )
+
+
+def validate_pyramid(pyramid):
+    """Normalize/validate a coarse-to-fine ``[(dsratio, numiters), ...]``
+    schedule (shared by the single-device and map-sharded pipelines).
+    Returns the normalized list (or None)."""
+    if pyramid is None:
+        return None
+    try:
+        pyramid = [(int(d), int(n)) for d, n in pyramid]
+    except (TypeError, ValueError) as e:
+        raise ValueError(
+            f"pyramid must be a list of (dsratio, numiters) pairs. "
+            f"Got {pyramid!r}."
+        ) from e
+    if not pyramid or any(d < 1 or n < 1 for d, n in pyramid):
+        raise ValueError(
+            f"pyramid levels must have dsratio >= 1 and numiters >= 1. "
+            f"Got {pyramid!r}."
+        )
+    ds = [d for d, _ in pyramid]
+    if any(d2 > d1 for d1, d2 in zip(ds, ds[1:])):
+        # the LAST level's transform is the result; a fine-to-coarse order
+        # would silently discard the fine refinement as a mere warm start
+        raise ValueError(
+            f"pyramid must be coarse-to-fine (non-increasing dsratio). "
+            f"Got dsratios {ds}."
+        )
+    return pyramid
 
 
 def gauss_newton_solve(

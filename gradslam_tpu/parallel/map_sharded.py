@@ -47,7 +47,12 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..geometry.geometryutils import compose_transformations
-from ..odometry.icputils import point_to_plane_ICP, point_to_plane_gradICP
+from ..odometry.icputils import (
+    point_to_plane_ICP,
+    point_to_plane_gradICP,
+    validate_pyramid,
+    validate_robust,
+)
 from ..ops import nn_points_auto
 from ..slam.fusionutils import (
     _project_map_points,
@@ -227,20 +232,7 @@ class MapShardedPointFusion:
         self.odom = odom
         self.dsratio = dsratio
         self.numiters = numiters
-        if pyramid is not None:
-            try:
-                pyramid = [(int(d), int(n)) for d, n in pyramid]
-            except (TypeError, ValueError) as e:
-                raise ValueError(
-                    f"pyramid must be a list of (dsratio, numiters) pairs. "
-                    f"Got {pyramid!r}."
-                ) from e
-            if not pyramid or any(d < 1 or n < 1 for d, n in pyramid):
-                raise ValueError(
-                    f"pyramid levels must have dsratio >= 1 and numiters >= 1. "
-                    f"Got {pyramid!r}."
-                )
-        self.pyramid = pyramid
+        self.pyramid = validate_pyramid(pyramid)
         self.damp = damp
         self.dist_thresh = dist_thresh
         self.lambda_max = lambda_max
@@ -248,11 +240,7 @@ class MapShardedPointFusion:
         self.B2 = B2
         self.nu = nu
         self.lookahead_assoc = lookahead_assoc
-        if robust_loss not in (None, "huber", "tukey"):
-            raise ValueError(
-                f"Unknown robust_loss: {robust_loss!r}. "
-                "Expected None, 'huber' or 'tukey'."
-            )
+        validate_robust(robust_loss, robust_scale)
         self.robust_loss = robust_loss
         self.robust_scale = robust_scale
         self.icp_capacity = icp_capacity

@@ -28,7 +28,12 @@ import jax.numpy as jnp
 from ..geometry.geometryutils import compose_transformations
 from ..odometry.gradicp import GradICPOdometryProvider
 from ..odometry.icp import ICPOdometryProvider
-from ..odometry.icputils import downsample_pointclouds, downsample_rgbdimages
+from ..odometry.icputils import (
+    downsample_pointclouds,
+    downsample_rgbdimages,
+    validate_pyramid,
+    validate_robust,
+)
 from ..structures.pointclouds import Pointclouds
 from ..structures.rgbdimages import RGBDImages
 from .fusionutils import find_active_map_points, prune_map, update_map_aggregate
@@ -84,8 +89,9 @@ class ICPSLAM:
             turns odometry cost constant per frame (measured: ICPSLAM(icp)
             320x240 38 -> see BENCH_ALL). Default None = reference semantics
             (project the whole map, reference icpslam.py:240-243). Only
-            meaningful for append-ordered (aggregate) maps; PointFusion maps
-            stay bounded and merge in place, so leave it unset there.
+            valid for append-ordered (aggregate) maps — PointFusion merges
+            in place, so buffer recency is not spatial recency there and
+            its constructor rejects the option.
         prune_every / prune_min_confidence: if ``prune_every > 0``, every
             ``prune_every``-th mapped frame ends with
             :func:`~gradslam_tpu.slam.fusionutils.prune_map` — unstable
@@ -150,26 +156,8 @@ class ICPSLAM:
             )
         self.prune_every = int(prune_every)
         self.prune_min_confidence = prune_min_confidence
-        if pyramid is not None:
-            try:
-                pyramid = [(int(d), int(n)) for d, n in pyramid]
-            except (TypeError, ValueError) as e:
-                raise ValueError(
-                    f"pyramid must be a list of (dsratio, numiters) pairs. "
-                    f"Got {pyramid!r}."
-                ) from e
-            if not pyramid or any(d < 1 or n < 1 for d, n in pyramid):
-                raise ValueError(
-                    f"pyramid levels must have dsratio >= 1 and numiters >= 1. "
-                    f"Got {pyramid!r}."
-                )
-        self.pyramid = pyramid
-
-        if robust_loss not in (None, "huber", "tukey"):
-            raise ValueError(
-                f"Unknown robust_loss: {robust_loss!r}. "
-                "Expected None, 'huber' or 'tukey'."
-            )
+        self.pyramid = validate_pyramid(pyramid)
+        validate_robust(robust_loss, robust_scale)
         self.robust_loss = robust_loss
         self.robust_scale = robust_scale
 
@@ -186,11 +174,11 @@ class ICPSLAM:
                 )
             return None
 
-        if pyramid is None:
+        if self.pyramid is None:
             self.odomprov = make_provider(numiters)
             self._pyramid_provs = None
         else:
-            self._pyramid_provs = [make_provider(n) for _, n in pyramid]
+            self._pyramid_provs = [make_provider(n) for _, n in self.pyramid]
             self.odomprov = self._pyramid_provs[-1]  # finest level
         self._forward = jax.jit(self._forward_impl) if use_jit else self._forward_impl
         self._step = jax.jit(self._step_impl) if use_jit else self._step_impl
@@ -325,15 +313,21 @@ class ICPSLAM:
     def _icp_target_window(
         self, pointclouds: Pointclouds, H: int, W: int
     ) -> Pointclouds:
-        """Slice the recency window out of an append-ordered map buffer
-        (``icp_window_frames``); returns the map unchanged when the feature
-        is off or the window would cover the whole buffer."""
-        if self.icp_window_frames is None:
-            return pointclouds
-        rows = self.icp_window_frames * H * W
+        """Build the odometry target: a geometry-only (points + normals) view
+        of the map — the solvers never read colors/features, so compacting
+        them per frame would be a dead O(capacity) scatter — optionally
+        sliced to the ``icp_window_frames`` recency window."""
+        rows = (
+            None if self.icp_window_frames is None
+            else self.icp_window_frames * H * W
+        )
         cap = pointclouds.capacity
-        if rows >= cap:
-            return pointclouds
+        if rows is None or rows >= cap:
+            return Pointclouds(
+                points=pointclouds.points,
+                num_points=pointclouds.num_points,
+                normals=pointclouds.normals,
+            )
         start = jnp.clip(pointclouds.num_points - rows, 0, cap - rows)  # (B,)
 
         def slice_one(buf, s):

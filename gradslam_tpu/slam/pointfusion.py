@@ -56,6 +56,18 @@ class PointFusion(ICPSLAM):
         use_jit: bool = True,
         remat: bool = False,
     ):
+        if icp_window_frames is not None:
+            # The recency window assumes an APPEND-ORDERED buffer (ICPSLAM's
+            # aggregate map). PointFusion merges revisited surface in place
+            # into OLD rows, so the most-recent rows hold only points the
+            # frame did NOT overlap — exactly the wrong target for alignment
+            # (measured: 232x worse tracking). Fail loudly.
+            raise ValueError(
+                "icp_window_frames is not supported by PointFusion: its map "
+                "merges in place, so buffer recency does not mean spatial "
+                "recency. Use it with ICPSLAM's append-ordered map, or rely "
+                "on PointFusion's bounded map size instead."
+            )
         super().__init__(
             odom=odom,
             dsratio=dsratio,

@@ -160,10 +160,38 @@ class TestRobustLoss:
         assert np.all(np.isfinite(np.asarray(g)))
         assert float(jnp.abs(g).sum()) > 0
 
-    def test_pipeline_robust_tracks(self):
+    def test_robust_loss_validation(self):
         from gradslam_tpu import ICPSLAM
         with pytest.raises(ValueError):
             ICPSLAM(odom="icp", robust_loss="cauchy")
+        # robust_scale=0 would zero every IRLS weight -> silent no-op solver
+        with pytest.raises(ValueError):
+            ICPSLAM(odom="icp", robust_loss="huber", robust_scale=0.0)
+        # fine-to-coarse pyramid order would discard the fine refinement
+        with pytest.raises(ValueError):
+            ICPSLAM(odom="icp", pyramid=[(2, 4), (8, 6)])
+
+    def test_pipeline_robust_tracks(self):
+        """A robust-loss pipeline actually tracks (kwargs reach the solver)."""
+        import jax.numpy as jnp2
+
+        from gradslam_tpu import ICPSLAM, RGBDImages
+        from gradslam_tpu.datasets import synthetic_sequence
+
+        rgb, depths, intr, poses = synthetic_sequence(1, 4, 16, 24, seed=7)
+        frames = RGBDImages(
+            jnp2.asarray(rgb), jnp2.asarray(depths), jnp2.asarray(intr),
+            jnp2.asarray(poses),
+        )
+        slam = ICPSLAM(odom="icp", dsratio=2, numiters=6,
+                       robust_loss="huber", robust_scale=0.1)
+        _, tr = slam(frames)
+        err = np.abs(np.asarray(tr) - np.asarray(poses)).max()
+        # clean data: robust tracking must stay in the same regime as plain
+        plain = ICPSLAM(odom="icp", dsratio=2, numiters=6)
+        _, tr_p = plain(frames)
+        err_p = np.abs(np.asarray(tr_p) - np.asarray(poses)).max()
+        assert err < max(2 * err_p, 1e-3), (err, err_p)
 
 
 class TestICPRecovery:

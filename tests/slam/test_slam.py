@@ -456,17 +456,13 @@ class TestICPWindowFrames:
         assert err_win <= err_ref + 1e-3, (err_win, err_ref)
         assert err_win < 5e-3, err_win
 
-    def test_gradicp_pointfusion_window(self, synthetic_clip):
-        frames = synthetic_clip(B=1, L=5, H=16, W=24)
-        ref = PointFusion(odom="gradicp", dsratio=2, numiters=4)
-        win = PointFusion(
-            odom="gradicp", dsratio=2, numiters=4, icp_window_frames=5
-        )
-        _, tr_ref = ref(frames)
-        _, tr_win = win(frames)
-        np.testing.assert_allclose(
-            np.asarray(tr_win), np.asarray(tr_ref), atol=1e-4
-        )
+    def test_pointfusion_rejects_window(self):
+        # PointFusion merges revisited surface in place into OLD rows, so
+        # the most-recent buffer rows hold exactly the points a frame does
+        # NOT overlap — a recency window there wrecks tracking (measured
+        # 232x worse). The constructor must fail loudly.
+        with pytest.raises(ValueError, match="icp_window_frames"):
+            PointFusion(odom="gradicp", icp_window_frames=2)
 
     def test_validation(self):
         with pytest.raises(ValueError):
