@@ -43,6 +43,16 @@ parser.add_argument("--seqlen", type=int, default=10)
 parser.add_argument("--height", type=int, default=120)
 parser.add_argument("--width", type=int, default=160)
 parser.add_argument("--map_capacity", type=int, default=None)
+parser.add_argument(
+    "--pyramid", type=str, default=None,
+    help="Coarse-to-fine odometry 'ds:iters,ds:iters,...' (e.g. '8:6,4:4').",
+)
+parser.add_argument(
+    "--robust-loss", type=str, default=None, choices=["huber", "tukey"],
+    help="Robust IRLS kernel for the point-to-plane solve "
+    "(outlier/dynamic-object rejection).",
+)
+parser.add_argument("--robust-scale", type=float, default=0.05)
 parser.add_argument("--prune-every", type=int, default=0,
                     help="prune unstable map points every N frames (0 = never)")
 parser.add_argument("--prune-min-confidence", type=float, default=1.0)
@@ -75,7 +85,12 @@ def main():
 
     cls = PointFusion if args.pipeline == "pointfusion" else ICPSLAM
     capacity = args.map_capacity or L * args.height * args.width
-    slam = cls(odom=args.odometry, map_capacity=capacity)
+    pyramid = None
+    if args.pyramid:
+        pyramid = [tuple(int(x) for x in lvl.split(":"))
+                   for lvl in args.pyramid.split(",")]
+    slam = cls(odom=args.odometry, map_capacity=capacity, pyramid=pyramid,
+               robust_loss=args.robust_loss, robust_scale=args.robust_scale)
 
     start = 0
     traj = []
