@@ -37,7 +37,7 @@ from ..geometry.geometryutils import transform_pointcloud
 # Reference parity: these names are importable from the reference's
 # fusionutils namespace (fusionutils.py:7-8).
 from ..geometry.geometryutils import create_meshgrid  # noqa: F401
-from ..structures.pointclouds import Pointclouds
+from ..structures.pointclouds import Pointclouds, compact_masked
 from ..structures.rgbdimages import RGBDImages
 from ..structures.utils import pointclouds_from_rgbdimages  # noqa: F401
 
@@ -45,6 +45,7 @@ __all__ = [
     "update_map_fusion",
     "update_map_aggregate",
     "prune_map",
+    "voxel_downsample",
     "pack_colors",
     "unpack_colors",
 ]
@@ -772,6 +773,127 @@ def prune_map(
     if pointclouds.colors is not None:
         colors, _ = compact_masked(pointclouds.colors, keep, cap)
     features, _ = compact_masked(pointclouds.features, keep, cap)
+    return Pointclouds(
+        points=points, num_points=counts, normals=normals, colors=colors,
+        features=features, num_dropped=pointclouds.num_dropped,
+    )
+
+
+def voxel_downsample(
+    pointclouds: Pointclouds,
+    voxel_size: Union[float, int],
+    *,
+    reduce: str = "mean",
+) -> Pointclouds:
+    r"""Voxel-grid decimation of a padded pointcloud batch (the open3d
+    ``voxel_down_sample`` operation, absent from the reference — map
+    maintenance companion to :func:`prune_map`).
+
+    One point survives per occupied ``voxel_size``-cube. Static-shape
+    recipe (same machinery as the fusion winner selection): quantize
+    coordinates to integer voxel ids, flat 4-key ``lax.sort`` by
+    ``(vx, vy, vz, index)``, run-start detection marks one winner per
+    voxel, masked compaction packs survivors to the front. Jit/vmap-safe
+    and differentiable with respect to point values.
+
+    Args:
+        voxel_size: cube edge length (must be > 0).
+        reduce: ``'mean'`` (default — each surviving point is the centroid
+            of its voxel's points; attributes are averaged too, normals
+            re-normalized) or ``'first'`` (keep the lowest-index point per
+            voxel unchanged — like the fusion tie-break).
+
+    Returns:
+        A new ``Pointclouds`` with the same capacity, survivors packed to
+        the front, and ``num_points`` shrunk per batch. ``num_dropped``
+        carries over (decimation is intentional, not overflow).
+    """
+    if not voxel_size > 0:
+        raise ValueError(f"voxel_size must be > 0. Got {voxel_size}.")
+    if reduce not in ("mean", "first"):
+        raise ValueError(f"Unknown reduce mode: {reduce!r}.")
+    pts = pointclouds.points  # (B, CAP, 3)
+    B, CAP, _ = pts.shape
+    valid = pointclouds.nonpad_mask  # (B, CAP)
+
+    # Integer voxel ids, offset to be non-negative per batch so invalid rows
+    # can take an int sentinel strictly above every real id.
+    vid = jnp.floor(pts / voxel_size).astype(jnp.int32)  # (B, CAP, 3)
+    vid = vid - jnp.min(jnp.where(valid[..., None], vid, _INT_SENTINEL),
+                        axis=1, keepdims=True)
+    vx = jnp.where(valid, vid[..., 0], _INT_SENTINEL)
+    vy = jnp.where(valid, vid[..., 1], _INT_SENTINEL)
+    vz = jnp.where(valid, vid[..., 2], _INT_SENTINEL)
+    idx = jnp.broadcast_to(jnp.arange(CAP, dtype=jnp.int32)[None], (B, CAP))
+
+    # Batched 4-key sort by (vx, vy, vz, index) ascending, each batch row
+    # independently. (The per-frame fusion path flattens batch into the key
+    # to dodge TPU's batched-sort penalty; a maintenance utility prefers the
+    # simple form — folding batch in would need an offset > sentinel, which
+    # overflows int32 for B >= 2.)
+    s_vx, s_vy, s_vz, s_idx = jax.lax.sort(
+        (vx, vy, vz, idx), dimension=1, num_keys=4, is_stable=False,
+    )
+    s_valid = s_vx < _INT_SENTINEL
+
+    first = jnp.concatenate(
+        [jnp.ones((B, 1), bool),
+         (s_vx[:, 1:] != s_vx[:, :-1])
+         | (s_vy[:, 1:] != s_vy[:, :-1])
+         | (s_vz[:, 1:] != s_vz[:, :-1])],
+        axis=1,
+    ) & s_valid
+
+    bidx = jnp.broadcast_to(jnp.arange(B)[:, None], (B, CAP))
+
+    def gather_rows(buf):  # (B, CAP, C) -> sorted order
+        return buf[bidx, s_idx]
+
+    if reduce == "mean":
+        # segment id per sorted row -> scatter-add values and counts, then
+        # each run-start row reads its voxel's mean.
+        seg = jnp.cumsum(first.astype(jnp.int32), axis=1) - 1  # (B, CAP)
+        seg = jnp.where(s_valid, seg, CAP - 1)  # park invalid rows
+        ones = s_valid.astype(pts.dtype)
+        cnt = jnp.zeros((B, CAP), pts.dtype).at[bidx, seg].add(ones)
+        cnt_safe = jnp.where(cnt == 0, 1.0, cnt)
+
+        def voxel_mean(buf):
+            v = gather_rows(buf) * ones[..., None]
+            acc = jnp.zeros((B, CAP, buf.shape[-1]), buf.dtype)
+            acc = acc.at[bidx, seg].add(v)
+            return acc / cnt_safe[..., None]
+
+        def reduced(buf):
+            return None if buf is None else jnp.take_along_axis(
+                voxel_mean(buf), seg[..., None], axis=1)
+
+        new_pts = reduced(pts)
+        new_nrm = reduced(pointclouds.normals)
+        if new_nrm is not None:
+            n2 = jnp.sum(new_nrm * new_nrm, axis=-1, keepdims=True)
+            pos = n2 > 0
+            new_nrm = jnp.where(
+                pos, new_nrm / jnp.sqrt(jnp.where(pos, n2, 1.0)), new_nrm)
+        new_col = reduced(pointclouds.colors)
+        new_feat = reduced(pointclouds.features)
+    else:  # 'first': keep the lowest-index point of each voxel unchanged
+        def reduced(buf):
+            return None if buf is None else gather_rows(buf)
+
+        new_pts = reduced(pts)
+        new_nrm = reduced(pointclouds.normals)
+        new_col = reduced(pointclouds.colors)
+        new_feat = reduced(pointclouds.features)
+
+    points, counts = compact_masked(new_pts, first, CAP)
+    normals = colors = features = None
+    if new_nrm is not None:
+        normals, _ = compact_masked(new_nrm, first, CAP)
+    if new_col is not None:
+        colors, _ = compact_masked(new_col, first, CAP)
+    if new_feat is not None:
+        features, _ = compact_masked(new_feat, first, CAP)
     return Pointclouds(
         points=points, num_points=counts, normals=normals, colors=colors,
         features=features, num_dropped=pointclouds.num_dropped,

@@ -423,3 +423,95 @@ class TestPruneMap:
 
         g = jax.grad(loss)(pc.points)
         assert np.all(np.isfinite(np.asarray(g)))
+
+
+class TestVoxelDownsample:
+    """voxel_downsample: open3d-style grid decimation (map-maintenance
+    companion to prune_map; the reference has neither)."""
+
+    def _cloud(self):
+        from gradslam_tpu.slam import voxel_downsample  # noqa: F401
+        # two voxels at size 1.0: three points in [0,1)^3, two in [1,2)x[0,1)^2
+        pts = [np.array(
+            [[0.1, 0.1, 0.1],
+             [0.2, 0.2, 0.2],
+             [0.9, 0.4, 0.3],
+             [1.1, 0.1, 0.1],
+             [1.9, 0.2, 0.4]], np.float32)]
+        cols = [np.array(
+            [[1, 0, 0], [0, 1, 0], [0, 0, 1], [1, 1, 0], [0, 1, 1]],
+            np.float32)]
+        return Pointclouds.from_list(pts, colors=cols, capacity=8)
+
+    def test_first_mode(self):
+        from gradslam_tpu.slam import voxel_downsample
+
+        out = voxel_downsample(self._cloud(), 1.0, reduce="first")
+        assert int(out.num_points[0]) == 2
+        got = np.asarray(out.points_list[0])
+        # lowest-index point of each voxel, voxels in lexicographic order
+        np.testing.assert_allclose(got[0], [0.1, 0.1, 0.1], atol=1e-6)
+        np.testing.assert_allclose(got[1], [1.1, 0.1, 0.1], atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(out.colors_list[0])[0], [1, 0, 0], atol=1e-6)
+
+    def test_mean_mode(self):
+        from gradslam_tpu.slam import voxel_downsample
+
+        out = voxel_downsample(self._cloud(), 1.0)  # default 'mean'
+        assert int(out.num_points[0]) == 2
+        got = np.asarray(out.points_list[0])
+        np.testing.assert_allclose(got[0], [0.4, 0.7 / 3, 0.2], atol=1e-6)
+        np.testing.assert_allclose(got[1], [1.5, 0.15, 0.25], atol=1e-6)
+        # colors averaged per voxel
+        np.testing.assert_allclose(
+            np.asarray(out.colors_list[0])[0], [1 / 3, 1 / 3, 1 / 3],
+            atol=1e-6)
+
+    def test_padding_excluded_and_batched(self):
+        from gradslam_tpu.slam import voxel_downsample
+
+        pts = [np.zeros((3, 3), np.float32),
+               np.array([[0.1, 0, 0], [5.0, 5.0, 5.0]], np.float32)]
+        pc = Pointclouds.from_list(pts, capacity=6)
+        out = voxel_downsample(pc, 1.0)
+        assert int(out.num_points[0]) == 1
+        assert int(out.num_points[1]) == 2
+        # padded rows must not produce voxels
+        assert np.all(np.asarray(out.nonpad_mask).sum(-1) == [1, 2])
+
+    def test_jit_and_grad(self):
+        import jax
+
+        from gradslam_tpu.slam import voxel_downsample
+
+        pc = self._cloud()
+
+        @jax.jit
+        def f(points):
+            import dataclasses
+            out = voxel_downsample(
+                dataclasses.replace(pc, points=points), 1.0)
+            return jnp.sum(out.points**2)
+
+        g = jax.grad(f)(pc.points)
+        assert np.all(np.isfinite(np.asarray(g)))
+        assert float(jnp.abs(g).sum()) > 0
+
+    def test_normals_renormalized(self):
+        from gradslam_tpu.slam import voxel_downsample
+
+        pts = [np.array([[0.1, 0.1, 0.1], [0.2, 0.2, 0.2]], np.float32)]
+        nrm = [np.array([[1, 0, 0], [0, 1, 0]], np.float32)]
+        pc = Pointclouds.from_list(pts, normals=nrm, capacity=4)
+        out = voxel_downsample(pc, 1.0)
+        n = np.asarray(out.normals_list[0])[0]
+        np.testing.assert_allclose(np.linalg.norm(n), 1.0, atol=1e-6)
+
+    def test_validation(self):
+        from gradslam_tpu.slam import voxel_downsample
+
+        with pytest.raises(ValueError):
+            voxel_downsample(self._cloud(), 0.0)
+        with pytest.raises(ValueError):
+            voxel_downsample(self._cloud(), 1.0, reduce="median")
