@@ -53,6 +53,11 @@ parser.add_argument(
     "(outlier/dynamic-object rejection).",
 )
 parser.add_argument("--robust-scale", type=float, default=0.05)
+parser.add_argument(
+    "--export-voxel-size", type=float, default=None,
+    help="If set, voxel-grid decimate the map (voxel edge in meters) "
+    "before writing map.ply.",
+)
 parser.add_argument("--prune-every", type=int, default=0,
                     help="prune unstable map points every N frames (0 = never)")
 parser.add_argument("--prune-min-confidence", type=float, default=1.0)
@@ -138,13 +143,20 @@ def main():
 
     est = jnp.stack(traj)  # (L, 4, 4)
     save_state(ckpt_path, pc, est)
+    export = pc
+    if args.export_voxel_size:
+        from gradslam_tpu.slam import voxel_downsample
+
+        export = voxel_downsample(pc, args.export_voxel_size)
+        print(f"voxel decimation @ {args.export_voxel_size} m: "
+              f"{int(pc.num_points[0])} -> {int(export.num_points[0])} points")
     ply_path = os.path.join(args.out, "map.ply")
-    pc.save_ply(ply_path, index=0)
+    export.save_ply(ply_path, index=0)
     traj_path = os.path.join(args.out, "trajectory.txt")
     save_trajectory_tum(traj_path, np.asarray(est))
     gt_path = os.path.join(args.out, "groundtruth.txt")
     save_trajectory_tum(gt_path, np.asarray(gt_poses[0]))
-    print(f"map: {int(pc.num_points[0])} points -> {ply_path}")
+    print(f"map: {int(export.num_points[0])} points -> {ply_path}")
     print(f"trajectory ({L} poses) -> {traj_path}")
     print(f"evaluate: python scripts/evaluate_traj.py {gt_path} {traj_path}")
 
