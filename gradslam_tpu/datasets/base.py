@@ -148,6 +148,17 @@ class RGBDSequenceDataset:
         from . import frameio
 
         if not frameio.is_available():
+            # The user explicitly asked for the native path — degrading to
+            # cv2 silently would make IO benchmarks/validation lie.
+            import warnings
+
+            if not getattr(self, "_warned_native_unavailable", False):
+                self._warned_native_unavailable = True
+                warnings.warn(
+                    "loader='native' was requested but the native frameio "
+                    "library is not built (run native/build.sh); falling "
+                    "back to the cv2/imageio path."
+                )
             return None, None
         cpaths = list(sample["color_paths"])
         dpaths = list(sample["depth_paths"])
@@ -162,6 +173,13 @@ class RGBDSequenceDataset:
                 try:
                     rgb, depth = loader.fetch(i)
                 except Exception:
+                    import warnings
+
+                    warnings.warn(
+                        f"native frameio failed to decode {cpaths[i]!r} / "
+                        f"{dpaths[i]!r}; falling back to the cv2/imageio "
+                        "path for this sample."
+                    )
                     return None, None
                 colors.append(rgb)
                 depths.append(depth)

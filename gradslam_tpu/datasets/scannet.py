@@ -119,8 +119,8 @@ class Scannet(RGBDSequenceDataset):
         return_pose: bool = True,
         return_transform: bool = True,
         return_names: bool = True,
-        loader: str = "cv2",
         return_labels: bool = True,
+        loader: str = "cv2",
     ):
         super().__init__(
             seqlen=0,  # determined per metadata file below

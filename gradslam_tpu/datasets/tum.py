@@ -42,8 +42,8 @@ class TUM(RGBDSequenceDataset):
         return_pose: bool = True,
         return_transform: bool = True,
         return_names: bool = True,
-        loader: str = "cv2",
         return_timestamps: bool = True,
+        loader: str = "cv2",
     ):
         super().__init__(
             seqlen=seqlen,

@@ -113,13 +113,14 @@ class ShardedMap(NamedTuple):
 
     def to_pointclouds(self) -> Pointclouds:
         """Host-side compaction into a standard (unsharded) Pointclouds.
-        Packed colors (quantize_colors builds) are unpacked to float."""
-        colors = self.colors
-        if colors.shape[-1] == 1:  # packed layout
-            colors = unpack_colors(colors)
+        Packed colors (quantize_colors builds) are unpacked to float — AFTER
+        the live-row compaction, host-side: unpacking the full (B, CAP)
+        padded buffer on device would allocate 3x CAP extra HBM on maps that
+        are sharded precisely because CAP is huge."""
+        packed = self.colors.shape[-1] == 1
         pts = np.asarray(jax.device_get(self.points))
         nrm = np.asarray(jax.device_get(self.normals))
-        col = np.asarray(jax.device_get(colors))
+        col = np.asarray(jax.device_get(self.colors))
         feat = np.asarray(jax.device_get(self.features))
         nums = np.asarray(jax.device_get(self.num_points))  # (K, B)
         K, B = nums.shape
@@ -131,7 +132,13 @@ class ShardedMap(NamedTuple):
                 keep[k * C : k * C + nums[k, b]] = True
             pts_l.append(pts[b][keep])
             nrm_l.append(nrm[b][keep])
-            col_l.append(col[b][keep])
+            cb = col[b][keep]
+            if packed:  # same math as fusionutils.unpack_colors, in numpy
+                v = cb[..., 0].astype(np.int64)
+                cb = np.stack(
+                    [(v >> 16) & 0xFF, (v >> 8) & 0xFF, v & 0xFF], axis=-1
+                ).astype(np.float32) / 255.0
+            col_l.append(cb)
             feat_l.append(feat[b][keep])
         pc = Pointclouds.from_list(pts_l, normals=nrm_l, colors=col_l,
                                    features=feat_l)

@@ -627,6 +627,15 @@ def update_map_fusion(
             jnp.sum(new_mask.astype(jnp.int32), axis=-1) - appended
         )
 
+    # Unified pixel-space payload for both write-back modes: in the quantized
+    # layout colors ride packed in the features channel pair (no separate
+    # color plane, 8 scatters / one 8-wide gather instead of 10 / two).
+    if quantized:
+        feat_pix = jnp.concatenate([new_cc, pack_colors(out_col)], axis=-1)
+    else:
+        feat_pix = new_cc
+    fd = feat_pix.shape[-1]
+
     if merge == "gather":
         # Rebuild-by-gather: invert the pixel->row map with ONE single-column
         # scatter (destinations unique: a map row wins at most its own
@@ -642,71 +651,50 @@ def update_map_fusion(
         touched = row_src < HW
         safe_src = jnp.where(touched, row_src, 0)
         t = touched[..., None]
-        if quantized:
-            # SINGLE packed 8-wide gather — colors ride in the packed
-            # channel; no second gather, no color where-pass.
-            pix_geom = jnp.concatenate(
-                [out_pts, out_nrm, new_cc, pack_colors(out_col)], axis=-1
-            )  # (B, HW, 8)
-            g = jnp.take_along_axis(pix_geom, safe_src[..., None], axis=1)
-            return dataclasses.replace(
-                pointclouds,
-                points=jnp.where(t, g[..., :3], pointclouds.points),
-                normals=jnp.where(t, g[..., 3:6], pointclouds.normals),
-                features=jnp.where(t, g[..., 6:8], pointclouds.features),
-                num_points=num_points,
-                num_dropped=num_dropped,
-            )
-        # One packed 8-wide gather (pts | nrm | cc | pad) + one 3-wide for
-        # colors (row gathers cost the same up to 32-byte rows).
+        # One packed 8-wide gather (pts | nrm | features, zero-padded to 8);
+        # the exact path adds one 3-wide color gather (row gathers cost the
+        # same up to 32-byte rows).
         pix_geom = jnp.concatenate(
-            [out_pts, out_nrm, new_cc, jnp.zeros_like(new_cc)], axis=-1
+            [out_pts, out_nrm, feat_pix] +
+            ([jnp.zeros((B, HW, 2 - fd), out_pts.dtype)] if fd < 2 else []),
+            axis=-1,
         )  # (B, HW, 8)
         g = jnp.take_along_axis(pix_geom, safe_src[..., None], axis=1)
-        gc = jnp.take_along_axis(out_col, safe_src[..., None], axis=1)
-        return dataclasses.replace(
-            pointclouds,
-            points=jnp.where(t, g[..., :3], pointclouds.points),
-            normals=jnp.where(t, g[..., 3:6], pointclouds.normals),
-            colors=jnp.where(t, gc, pointclouds.colors),
-            features=jnp.where(t, g[..., 6:7], pointclouds.features),
-            num_points=num_points,
-            num_dropped=num_dropped,
+        new_points = jnp.where(t, g[..., :3], pointclouds.points)
+        new_normals = jnp.where(t, g[..., 3:6], pointclouds.normals)
+        new_features = jnp.where(t, g[..., 6:6 + fd], pointclouds.features)
+        new_colors = None
+        if not quantized:
+            gc = jnp.take_along_axis(out_col, safe_src[..., None], axis=1)
+            new_colors = jnp.where(t, gc, pointclouds.colors)
+    else:
+        def scatter_map(buf, vals):
+            # Column-at-a-time: single-column TPU scatters are ~8x cheaper
+            # than multi-column row scatters.
+            vals = vals.astype(buf.dtype)
+            for c in range(buf.shape[-1]):
+                buf = buf.at[bidx_pix, dest, c].set(
+                    vals[..., c], mode="drop", unique_indices=True
+                )
+            return buf
+
+        new_points = scatter_map(pointclouds.points, out_pts)
+        new_normals = scatter_map(pointclouds.normals, out_nrm)
+        new_features = scatter_map(pointclouds.features, feat_pix)
+        new_colors = (
+            None if quantized else scatter_map(pointclouds.colors, out_col)
         )
 
-    def scatter_map(buf, vals):
-        # Column-at-a-time: single-column TPU scatters are ~8x cheaper than
-        # multi-column row scatters.
-        vals = vals.astype(buf.dtype)
-        for c in range(buf.shape[-1]):
-            buf = buf.at[bidx_pix, dest, c].set(
-                vals[..., c], mode="drop", unique_indices=True
-            )
-        return buf
-
-    if quantized:
-        # 8 single-column scatters instead of 10: colors ride packed in the
-        # features channel pair [ccount, packed_color].
-        return dataclasses.replace(
-            pointclouds,
-            points=scatter_map(pointclouds.points, out_pts),
-            normals=scatter_map(pointclouds.normals, out_nrm),
-            features=scatter_map(
-                pointclouds.features,
-                jnp.concatenate([new_cc, pack_colors(out_col)], axis=-1),
-            ),
-            num_points=num_points,
-            num_dropped=num_dropped,
-        )
-    return dataclasses.replace(
-        pointclouds,
-        points=scatter_map(pointclouds.points, out_pts),
-        normals=scatter_map(pointclouds.normals, out_nrm),
-        colors=scatter_map(pointclouds.colors, out_col),
-        features=scatter_map(pointclouds.features, new_cc),
+    kw = dict(
+        points=new_points,
+        normals=new_normals,
+        features=new_features,
         num_points=num_points,
         num_dropped=num_dropped,
     )
+    if not quantized:
+        kw["colors"] = new_colors
+    return dataclasses.replace(pointclouds, **kw)
 
 
 def update_map_aggregate(

@@ -165,6 +165,7 @@ def generate():
     missing = []
     for page, modules in PAGES.items():
         lines = [f"# gradslam_tpu.{page}", ""]
+        modnames = set(modules)
         for modname in modules:
             mod = importlib.import_module(modname)
             lines.append(f"## {modname}")
@@ -178,6 +179,12 @@ def generate():
             for symname in _public_names(mod):
                 obj = getattr(mod, symname, None)
                 if obj is None:
+                    continue
+                # Skip re-exports whose defining module is also on this page
+                # (e.g. gradslam_tpu.ops re-exports the knn symbols) — they
+                # would be documented twice.
+                defmod = getattr(obj, "__module__", None)
+                if defmod and defmod != mod.__name__ and defmod in modnames:
                     continue
                 if inspect.isclass(obj):
                     _emit_class(lines, symname, obj, missing, modname)
