@@ -154,29 +154,38 @@ def transform_normals(normals, transform) -> jnp.ndarray:
 
 def transform_pts_3d(pts, transform) -> jnp.ndarray:
     r"""Apply a homogeneous ``(4, 4)`` transform to points of shape
-    ``(*, 3)`` — grid-shaped inputs like ``(H, W, 3)`` included (reference
-    geometryutils.py:304-359)."""
+    ``(*, 3)`` — grid-shaped inputs like ``(H, W, 3)`` included. A batched
+    ``(B, ..., 4, 4)`` transform broadcasts over the point dims that follow
+    its batch prefix, e.g. ``(B, 4, 4)`` over ``(B, H, W, 3)`` (reference
+    geometryutils.py:304-359 documents exactly these batched grid shapes)."""
     pts = jnp.asarray(pts)
     transform = jnp.asarray(transform)
     if transform.shape[-2:] != (4, 4):
         raise ValueError(f"transform must have shape (*, 4, 4). Got {transform.shape}.")
     rmat = transform[..., :3, :3]
     tvec = transform[..., :3, 3]
-    return einsum_hp("ij,...j->...i", rmat, pts) + tvec
+    if transform.ndim == 2:
+        return einsum_hp("ij,...j->...i", rmat, pts) + tvec
+    # Batched: the matrix batch prefix aligns with the LEADING point dims;
+    # insert broadcast axes for every remaining point dim (one axis is not
+    # enough for grids — (B, 4, 4) over (B, H, W, 3) needs two).
+    nb = transform.ndim - 2
+    extra = pts.ndim - 1 - nb
+    if extra < 0:
+        raise ValueError(
+            f"transform batch dims ({transform.shape[:-2]}) exceed point "
+            f"dims ({pts.shape[:-1]})."
+        )
+    rmat = rmat.reshape(transform.shape[:nb] + (1,) * extra + (3, 3))
+    tvec = tvec.reshape(transform.shape[:nb] + (1,) * extra + (3,))
+    return matmul_hp(rmat, pts[..., None])[..., 0] + tvec
 
 
 def transform_pts_nd(pts, transform) -> jnp.ndarray:
     r"""Batched homogeneous transform of ``(*, 3)`` points by ``(*, 4, 4)``
     matrices broadcast over the point dims (reference ``transform_pts_nd_KF``
-    geometryutils.py:361-411)."""
-    pts = jnp.asarray(pts)
-    transform = jnp.asarray(transform)
-    if transform.ndim == 2:
-        return transform_pts_3d(pts, transform)
-    rmat = transform[..., :3, :3]
-    tvec = transform[..., :3, 3]
-    out = matmul_hp(rmat[..., None, :, :], pts[..., None])[..., 0]
-    return out + tvec[..., None, :]
+    geometryutils.py:361-411). Same broadcasting as :func:`transform_pts_3d`."""
+    return transform_pts_3d(pts, transform)
 
 
 # Reference alias (geometryutils.py:361) — "KF" for KinectFusion-style usage.

@@ -44,19 +44,24 @@ def _resolve_backend(tgt) -> str:
 
 
 def nn_points_auto(src, tgt, tgt_mask=None):
-    """Dispatch 1-NN to the selected backend."""
-    if _resolve_backend(tgt) == "pallas":
-        import jax
+    """Dispatch 1-NN to the selected backend.
 
-        # Association indices/distances are non-differentiable plumbing.
-        # Stop gradients at the INPUTS, not the outputs: pallas_call has no
-        # JVP rule, so if tangents reach it, jax.grad fails to linearize the
-        # trace even when the outputs' cotangents are stopped (differentiating
-        # a tracked pipeline on TPU would crash).
-        sg = jax.lax.stop_gradient
-        return nn_points_pallas(
-            sg(src), sg(tgt), None if tgt_mask is None else sg(tgt_mask)
-        )
+    The returned distances/indices are NON-DIFFERENTIABLE association
+    plumbing on every backend (inputs are stop-gradient'ed): the Pallas
+    kernel has no JVP rule — tangents reaching pallas_call make jax.grad
+    fail to linearize the trace — and stopping only there would make
+    gradient semantics silently depend on which backend 'auto' picks.
+    Callers needing differentiable distances (e.g. chamfer metrics) should
+    use :func:`nn_points` / :func:`knn_points` directly.
+    """
+    import jax
+
+    sg = jax.lax.stop_gradient
+    src = sg(src)
+    tgt = sg(tgt)
+    tgt_mask = None if tgt_mask is None else sg(tgt_mask)
+    if _resolve_backend(tgt) == "pallas":
+        return nn_points_pallas(src, tgt, tgt_mask)
     return nn_points(src, tgt, tgt_mask)
 
 

@@ -39,6 +39,7 @@ def save_ply(
     normals=None,
     colors=None,
     binary: bool = True,
+    color_range: str = None,
 ) -> None:
     r"""Write one pointcloud to a PLY file.
 
@@ -47,12 +48,20 @@ def save_ply(
         points: ``(N, 3)`` float array.
         normals: optional ``(N, 3)`` float array (nx/ny/nz properties).
         colors: optional ``(N, 3)`` array, stored as uchar red/green/blue.
-            The convention is dtype-driven (no value-range guessing —
-            ADVICE r1): floating dtypes are interpreted as [0, 1] and scaled
+            The default convention is dtype-driven (no value-range
+            guessing): floating dtypes are interpreted as [0, 1] and scaled
             by 255 (values outside are clipped); integer dtypes are
-            interpreted as [0, 255] and clipped.
+            interpreted as [0, 255] and clipped. Float colors that exceed
+            1.0 (e.g. datasets loaded with ``normalize_color=False`` keep
+            0-255 floats) would clip to solid white — a warning is emitted
+            and ``color_range`` overrides the convention.
         binary: binary little-endian (default) or ASCII.
+        color_range: ``None`` (dtype convention), ``'unit'`` (values in
+            [0, 1], scale by 255) or ``'byte'`` (values already in
+            [0, 255]).
     """
+    if color_range not in (None, "unit", "byte"):
+        raise ValueError(f"Unknown color_range: {color_range!r}.")
     points = np.asarray(points, dtype=np.float32)
     if points.ndim != 2 or points.shape[-1] != 3:
         raise ValueError(f"points must have shape (N, 3). Got {points.shape}.")
@@ -88,8 +97,22 @@ def save_ply(
                 f"Got {colors.shape}."
             )
         if colors.dtype != np.uint8:
-            # Explicit dtype-driven convention: float => [0, 1], int => [0, 255].
-            scale = 255.0 if np.issubdtype(colors.dtype, np.floating) else 1.0
+            # Explicit dtype-driven convention: float => [0, 1], int => [0, 255];
+            # color_range overrides.
+            rng = color_range
+            if rng is None:
+                rng = ("unit" if np.issubdtype(colors.dtype, np.floating)
+                       else "byte")
+                if rng == "unit" and colors.size and colors.max() > 1.001:
+                    import warnings
+
+                    warnings.warn(
+                        "save_ply: float colors exceed 1.0 — the [0, 1] "
+                        "convention would clip them to white. Pass "
+                        "color_range='byte' if the values are 0-255 floats "
+                        "(e.g. a dataset loaded with normalize_color=False)."
+                    )
+            scale = 255.0 if rng == "unit" else 1.0
             colors = np.clip(colors * scale, 0, 255).astype(np.uint8)
         header += [
             "property uchar red",
@@ -131,7 +154,13 @@ def load_ply(path: str) -> Dict[str, Optional[np.ndarray]]:
         props = []  # (name, dtype) of the vertex element
         in_vertex = False
         while True:
-            line = f.readline().decode("ascii", "replace").strip()
+            raw = f.readline()
+            if not raw:  # EOF: readline() returns b'' — a blank line is b'\n'
+                raise ValueError(
+                    f"{path}: unexpected end of file in PLY header "
+                    "(missing end_header — truncated file?)."
+                )
+            line = raw.decode("ascii", "replace").strip()
             if not line:
                 continue
             if line.startswith("comment"):

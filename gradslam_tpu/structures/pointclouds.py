@@ -55,12 +55,14 @@ def _compact_masked(values: jnp.ndarray, mask: jnp.ndarray, capacity: int):
     Rows beyond capacity are dropped (XLA scatter ``mode='drop'``).
     """
     B, M = mask.shape
-    dest = jnp.cumsum(mask.astype(jnp.int32), axis=-1) - 1  # (B, M)
-    # Park invalid rows at out-of-bounds slots that stay UNIQUE (capacity + i):
-    # unique_indices=True lets XLA use the fast scatter path on TPU instead of
-    # the serialising conflict-resolution path.
+    rank = jnp.cumsum(mask.astype(jnp.int32), axis=-1) - 1  # (B, M)
+    # Park invalid rows AND capacity-overflowing valid rows at out-of-bounds
+    # slots that stay UNIQUE (capacity + i): unique_indices=True lets XLA use
+    # the fast scatter path on TPU instead of the serialising
+    # conflict-resolution path — an overflowing rank >= capacity could
+    # otherwise collide with another row's capacity + i parking slot.
     oob = capacity + jnp.arange(M, dtype=jnp.int32)[None, :]
-    dest = jnp.where(mask, dest, oob)
+    dest = jnp.where(mask & (rank < capacity), rank, oob)
     out = jnp.zeros((B, capacity) + values.shape[2:], dtype=values.dtype)
     bidx = jnp.broadcast_to(jnp.arange(B)[:, None], (B, M))
     out = out.at[bidx, dest].set(values, mode="drop", unique_indices=True)
@@ -301,7 +303,9 @@ class Pointclouds:
     def __getitem__(self, index) -> "Pointclouds":
         """Batch indexing; returns a Pointclouds with the selected batch rows."""
         if isinstance(index, int):
-            index = slice(index, index + 1)
+            # keep the batch dim; -1 must select the LAST row, not an empty
+            # slice (slice(-1, 0) is empty)
+            index = slice(index, index + 1 if index != -1 else None)
 
         def sel(x):
             return None if x is None else x[index]
@@ -379,9 +383,13 @@ class Pointclouds:
             return self.rotate(
                 transform[..., :3, :3], pre_multiplication=False
             ).offset(tvec)
+        # Zero padded rows after the transform: the translation would move
+        # dead rows to tvec, breaking the padding-stays-zero invariant the
+        # other ops (offset, post-multiplication path) preserve.
+        mask = self.nonpad_mask[..., None]
         return dataclasses.replace(
             self,
-            points=transform_pointcloud(self.points, transform),
+            points=jnp.where(mask, transform_pointcloud(self.points, transform), 0.0),
             normals=(
                 transform_normals(self.normals, transform)
                 if self.normals is not None
@@ -582,11 +590,13 @@ class Pointclouds:
     # ------------------------------------------------------------------ #
     # Export / viz (host-side, optional deps)
     # ------------------------------------------------------------------ #
-    def save_ply(self, path: str, index: int = 0, binary: bool = True) -> None:
+    def save_ply(self, path: str, index: int = 0, binary: bool = True,
+                 color_range: str = None) -> None:
         r"""Write batch element ``index`` to a PLY file (points + normals +
         colors when present) with no visualization dependency — see
-        :mod:`gradslam_tpu.structures.io`. The reference can only persist
-        maps through open3d (pointclouds.py:1239)."""
+        :mod:`gradslam_tpu.structures.io` (``color_range`` documented
+        there). The reference can only persist maps through open3d
+        (pointclouds.py:1239)."""
         from .io import save_ply as _save_ply
 
         _save_ply(
@@ -595,6 +605,7 @@ class Pointclouds:
             normals=None if self.normals is None else self.normals_list[index],
             colors=None if self.colors is None else self.colors_list[index],
             binary=binary,
+            color_range=color_range,
         )
 
     def open3d(self, index: int):
@@ -648,7 +659,13 @@ class Pointclouds:
                 colors = colors[point_inds]
             if colors.size and colors.max() < 1.1:
                 colors = colors * 255.0
-            marker["color"] = np.clip(colors, 0.0, 255.0).astype(np.uint8)
+            colors = np.clip(colors, 0.0, 255.0).astype(np.uint8)
+            # plotly's marker.color validator takes color strings (an (N, 3)
+            # numeric array is rejected) — same format the RGBDImages
+            # vertex-scatter viewer uses.
+            marker["color"] = [
+                f"rgb({r},{g},{b})" for r, g, b in colors
+            ]
 
         scatter = go.Scatter3d(
             x=pts[:, 0], y=pts[:, 1], z=pts[:, 2], mode="markers", marker=marker

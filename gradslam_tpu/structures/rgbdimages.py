@@ -182,7 +182,10 @@ class RGBDImages:
             raise IndexError("Only batch and sequence dims are indexable.")
 
         def norm(i):
-            return slice(i, i + 1) if isinstance(i, int) else i
+            if isinstance(i, int):
+                # -1 selects the LAST element (slice(-1, 0) is empty)
+                return slice(i, i + 1 if i != -1 else None)
+            return i
 
         bidx = norm(index[0])
         sidx = norm(index[1]) if len(index) > 1 else slice(None)

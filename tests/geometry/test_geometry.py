@@ -275,3 +275,56 @@ class TestReferenceCompatNames:
         np.testing.assert_allclose(uv[0], [1.0 / 5.0, 2.0 / 5.0], atol=1e-6)
         # z == 0 guard: divide by 1 instead of 0
         np.testing.assert_allclose(uv[1], [2.0 / 3.0, 3.0 / 3.0], atol=1e-6)
+
+
+class TestBatchedGridTransforms:
+    """Round-2 review fix: (B, 4, 4) matrices must broadcast over grid-shaped
+    points (the reference's documented cam2pixel/pixel2cam shapes)."""
+
+    def test_pixel2cam_batched(self):
+        from gradslam_tpu.geometry.geometryutils import pixel2cam
+
+        B, H, W = 2, 3, 5
+        rng = np.random.RandomState(0)
+        depth = jnp.asarray(rng.rand(B, H, W).astype(np.float32) + 0.5)
+        Kinv = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (B, 4, 4))
+        pix = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32))
+        cam = pixel2cam(depth, Kinv, pix)
+        assert cam.shape == (B, H, W, 3)
+        np.testing.assert_allclose(
+            np.asarray(cam), np.asarray(pix) * np.asarray(depth)[..., None],
+            atol=1e-6,
+        )
+
+    def test_cam2pixel_batched(self):
+        from gradslam_tpu.geometry.geometryutils import cam2pixel
+
+        B, H, W = 2, 3, 4
+        rng = np.random.RandomState(1)
+        cam = rng.rand(B, H, W, 3).astype(np.float32) + 1.0
+        P = np.broadcast_to(np.eye(4, dtype=np.float32), (B, 4, 4))
+        uv = cam2pixel(jnp.asarray(cam), jnp.asarray(P))
+        assert uv.shape == (B, H, W, 2)
+        np.testing.assert_allclose(
+            np.asarray(uv), cam[..., :2] / cam[..., 2:3], atol=1e-5
+        )
+
+    def test_transform_pts_nd_grid_broadcast(self):
+        from gradslam_tpu.geometry.geometryutils import transform_pts_nd
+
+        # B == H used to broadcast BY ACCIDENT and apply matrix b to image
+        # row h=b; distinct per-batch translations catch that silently-wrong
+        # case as well as the crash.
+        B = H = 3
+        W = 5
+        rng = np.random.RandomState(2)
+        pts = rng.rand(B, H, W, 3).astype(np.float32)
+        T = np.stack([np.eye(4, dtype=np.float32)] * B)
+        for b in range(B):
+            T[b, :3, 3] = [b, 2.0 * b, -b]
+        out = transform_pts_nd(jnp.asarray(pts), jnp.asarray(T))
+        assert out.shape == (B, H, W, 3)
+        for b in range(B):
+            np.testing.assert_allclose(
+                np.asarray(out)[b], pts[b] + T[b, :3, 3], atol=1e-6
+            )

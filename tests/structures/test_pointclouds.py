@@ -294,3 +294,84 @@ class TestReferenceCompatSurface:
         pc, pts = self._pc()
         host = pc.cpu()
         np.testing.assert_allclose(np.asarray(host.points), np.asarray(pc.points))
+
+
+class TestLegacyReviewFixes:
+    """Regression tests for the round-2 legacy-code review findings."""
+
+    def test_negative_int_index(self):
+        pc = Pointclouds.from_list(
+            [np.ones((2, 3), np.float32) * i for i in range(3)], capacity=4
+        )
+        last = pc[-1]
+        assert len(last) == 1
+        np.testing.assert_allclose(last.points_list[0], 2.0)
+        np.testing.assert_array_equal(
+            np.asarray(pc[-2].points_list[0]), np.asarray(pc[1].points_list[0])
+        )
+
+    def test_rgbdimages_negative_index(self):
+        from gradslam_tpu import RGBDImages
+
+        rgb = jnp.arange(2 * 3 * 4 * 5 * 3, dtype=jnp.float32).reshape(2, 3, 4, 5, 3)
+        depth = jnp.ones((2, 3, 4, 5, 1))
+        K = jnp.broadcast_to(jnp.eye(4), (2, 1, 4, 4))
+        frames = RGBDImages(rgb, depth, K)
+        assert frames[-1].shape == (1, 3, 4, 5)
+        assert frames[:, -1].shape == (2, 1, 4, 5)
+        np.testing.assert_array_equal(
+            np.asarray(frames[:, -1].rgb_image[:, 0]), np.asarray(rgb[:, 2])
+        )
+
+    def test_transform_premul_keeps_padding_zero(self):
+        pc = Pointclouds.from_list([np.ones((2, 3), np.float32)], capacity=5)
+        T = np.eye(4, dtype=np.float32)
+        T[:3, 3] = [5.0, 6.0, 7.0]
+        out = pc.transform(jnp.asarray(T))  # pre-multiplication default
+        padded = np.asarray(out.points)[0, 2:]
+        np.testing.assert_array_equal(padded, 0.0)
+        np.testing.assert_allclose(
+            np.asarray(out.points)[0, :2], [[6, 7, 8], [6, 7, 8]], atol=1e-6
+        )
+
+    def test_compact_masked_overflow_with_invalid_rows(self):
+        from gradslam_tpu.structures.pointclouds import compact_masked
+
+        # invalid row early + more valid rows than capacity: overflow ranks
+        # must not collide with parked slots (unique_indices contract)
+        M, cap = 20, 10
+        mask = np.ones((1, M), bool)
+        mask[0, 3] = False
+        vals = np.arange(M, dtype=np.float32)[None, :, None]
+        out, counts = compact_masked(jnp.asarray(vals), jnp.asarray(mask), cap)
+        assert int(counts[0]) == cap
+        expect = [v for v in range(M) if v != 3][:cap]
+        np.testing.assert_array_equal(np.asarray(out)[0, :, 0], expect)
+
+    def test_save_ply_color_range(self, tmp_path):
+        import warnings
+
+        from gradslam_tpu.structures.io import load_ply, save_ply
+
+        pts = np.random.rand(4, 3).astype(np.float32)
+        cols255 = np.array([[10, 200, 30]] * 4, np.float32)  # 0-255 floats
+        p = str(tmp_path / "m.ply")
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            save_ply(p, pts, colors=cols255)  # unit convention clips
+            assert any("color_range" in str(x.message) for x in w)
+        save_ply(p, pts, colors=cols255, color_range="byte")
+        back = load_ply(p)
+        np.testing.assert_allclose(
+            back["colors"][0], [10 / 255, 200 / 255, 30 / 255], atol=1e-6
+        )
+        with pytest.raises(ValueError):
+            save_ply(p, pts, colors=cols255, color_range="bogus")
+
+    def test_load_ply_truncated_header_raises(self, tmp_path):
+        p = tmp_path / "trunc.ply"
+        p.write_bytes(b"ply\nformat ascii 1.0\nelement vertex 3\n")
+        from gradslam_tpu.structures.io import load_ply
+
+        with pytest.raises(ValueError, match="end of file"):
+            load_ply(str(p))
