@@ -12,6 +12,8 @@ Public API mirrors the reference package root
 (:1-2) — viz deps are imported lazily, never at package root.
 """
 
+from . import metrics  # noqa: F401  (reference root does `from .metrics import *`)
+from . import utils  # noqa: F401  (reference root does `from . import utils`)
 from .geometry import *  # noqa: F401,F403
 from .odometry import (  # noqa: F401
     GradICPOdometryProvider,
