@@ -151,7 +151,10 @@ def main():
         print(f"voxel decimation @ {args.export_voxel_size} m: "
               f"{int(pc.num_points[0])} -> {int(export.num_points[0])} points")
     ply_path = os.path.join(args.out, "map.ply")
-    export.save_ply(ply_path, index=0)
+    # TUM loads colors as 0-255 floats (normalize_color=False default), so
+    # the fused map's color scale is 0-255 too — without color_range='byte'
+    # the float [0, 1] convention would clip every vertex to white.
+    export.save_ply(ply_path, index=0, color_range="byte")
     traj_path = os.path.join(args.out, "trajectory.txt")
     save_trajectory_tum(traj_path, np.asarray(est))
     gt_path = os.path.join(args.out, "groundtruth.txt")

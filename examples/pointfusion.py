@@ -70,15 +70,18 @@ def main():
     if args.config:
         cfg.merge_from_file(args.config)
 
+    # The quantized map layout packs colors assuming [0, 1] (pack_colors);
+    # 0-255 dataset floats would clip every channel to white.
+    norm = dict(normalize_color=True) if args.quantize_colors else {}
     if args.dataset == "tum":
         dataset = TUM(
             args.dataset_path, sequences=args.sequences, seqlen=cfg.seqlen,
-            height=cfg.height, width=cfg.width,
+            height=cfg.height, width=cfg.width, **norm,
         )
     else:
         dataset = ICL(
             args.dataset_path, trajectories=args.sequences, seqlen=cfg.seqlen,
-            height=cfg.height, width=cfg.width,
+            height=cfg.height, width=cfg.width, **norm,
         )
 
     samples = [dataset[i] for i in range(min(args.batch_size, len(dataset)))]

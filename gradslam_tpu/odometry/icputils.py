@@ -376,6 +376,13 @@ def downsample_pointclouds(
     r"""Keep active map points whose projected pixel is ``(0 mod ds)`` in both
     axes (reference icputils.py:548-621), compacted into a fixed ``capacity``
     buffer instead of ragged per-batch lists.
+
+    If more points survive the stride filter than ``capacity`` (possible on
+    append-ordered maps where many frames of a revisited surface stack on the
+    same pixels), the buffer keeps a buffer-order prefix and the overflow is
+    recorded in the returned cloud's ``num_dropped`` counters — raise the
+    pipeline's ``icp_capacity`` (or set ``icp_window_frames``) if it is
+    nonzero.
     """
     if not isinstance(ds_ratio, int):
         raise TypeError(f"Expected ds_ratio to be of type int. Got {type(ds_ratio)}.")
@@ -387,7 +394,9 @@ def downsample_pointclouds(
         normals, _ = compact_masked(pointclouds.normals, keep, capacity)
     if pointclouds.colors is not None:
         colors, _ = compact_masked(pointclouds.colors, keep, capacity)
-    return Pointclouds(points=points, num_points=counts, normals=normals, colors=colors)
+    dropped = jnp.sum(keep.astype(jnp.int32), axis=-1) - counts
+    return Pointclouds(points=points, num_points=counts, normals=normals,
+                       colors=colors, num_dropped=dropped)
 
 
 def downsample_rgbdimages(rgbdimages: RGBDImages, ds_ratio: int) -> Pointclouds:

@@ -272,7 +272,8 @@ class MapShardedPointFusion:
         otherwise)."""
         if self.odom == "gt" and frames.poses is None:
             raise ValueError("MapShardedPointFusion(odom='gt') requires poses.")
-        return self._forward(frames)
+        # channels-first frames would reshape into scrambled (HW, C) rows
+        return self._forward(frames.to_channels_last())
 
     # ------------------------------------------------------------------ #
 

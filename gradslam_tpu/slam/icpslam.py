@@ -98,7 +98,10 @@ class ICPSLAM:
             points (confidence below ``prune_min_confidence``) are removed
             and capacity is reclaimed (Keller et al.'s map-maintenance
             stage; the reference never implemented it). Requires a pipeline
-            whose map carries confidence counters (PointFusion).
+            whose map carries confidence counters (PointFusion). Applies to
+            ``forward`` only — the frame-counter lives in its scan; online
+            ``step`` loops call ``prune_map`` themselves (see
+            ``examples/online_slam.py``).
         use_jit: jit-compile forward/step (disable for debugging).
         remat: apply ``jax.checkpoint`` to the scan body — end-to-end
             gradients over long sequences then rematerialise per-frame
@@ -138,6 +141,8 @@ class ICPSLAM:
                 "'gt', 'icp', 'gradicp'"
             )
         self.odom = odom
+        if not isinstance(dsratio, int) or dsratio < 1:
+            raise ValueError(f"dsratio must be an int >= 1. Got {dsratio}.")
         self.dsratio = dsratio
         self.map_capacity = map_capacity
         self.icp_capacity = icp_capacity
@@ -182,6 +187,10 @@ class ICPSLAM:
             self.odomprov = self._pyramid_provs[-1]  # finest level
         self._forward = jax.jit(self._forward_impl) if use_jit else self._forward_impl
         self._step = jax.jit(self._step_impl) if use_jit else self._step_impl
+        # step()'s gt/bootstrap branch runs the map update alone — jit it
+        # too, or every online odom='gt' frame dispatches the fusion
+        # pipeline op-by-op (an order of magnitude slower on TPU).
+        self._map_only = jax.jit(self._map) if use_jit else self._map
 
     # ------------------------------------------------------------------ #
     # Public API
@@ -208,7 +217,13 @@ class ICPSLAM:
     ) -> Tuple[Pointclouds, jnp.ndarray]:
         r"""Single online SLAM step (reference icpslam.py:140-178). If
         ``prev_frame`` is None (or odom='gt'), uses the pose from
-        ``live_frame``; otherwise runs the odometry provider."""
+        ``live_frame``; otherwise runs the odometry provider.
+
+        Note: ``prune_every`` applies to :meth:`forward` only — ``step`` has
+        no frame counter, so step-driven loops schedule their own
+        maintenance by calling
+        :func:`~gradslam_tpu.slam.fusionutils.prune_map` periodically (see
+        ``examples/online_slam.py --prune-every``)."""
         if not isinstance(live_frame, RGBDImages):
             raise TypeError(
                 f"Expected live_frame to be of type RGBDImages. Got {type(live_frame)}."
@@ -228,7 +243,7 @@ class ICPSLAM:
         prev_frame = None if prev_frame is None else prev_frame.to_channels_last()
         if prev_frame is None or self.odom == "gt":
             poses = live_frame.poses
-            new_map = self._map(pointclouds, live_frame)
+            new_map = self._map_only(pointclouds, live_frame)
             return new_map, poses
         return self._step(pointclouds, live_frame, prev_frame)
 
@@ -479,6 +494,8 @@ class ICPSLAM:
             )
             chunks.append(poses_seg)
             start += n_scan
+        if not chunks:  # L == 1: only the bootstrap frame was mapped
+            return map_pc, pose0[:, None]
         poses_rest = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks)
         poses_out = jnp.concatenate(
             [pose0[:, None], jnp.moveaxis(poses_rest, 0, 1)], axis=1

@@ -110,8 +110,10 @@ class PointFusion(ICPSLAM):
         # packed into the features channel (see fusionutils.pack_colors) so
         # the fusion write-back is a single 8-wide pass (~2.4 ms/frame saved
         # at 640x480 on v5e). Lossless for PLY export (8-bit uchar anyway);
-        # color gradients stop. Default off — the exact float-color path is
-        # the reference-parity default.
+        # color gradients stop. Assumes frame colors in [0, 1] — pack_colors
+        # clips, so 0-255 dataset floats (normalize_color=False loaders)
+        # would quantize to solid white; normalize colors first. Default off
+        # — the exact float-color path is the reference-parity default.
         self.quantize_colors = bool(quantize_colors)
         if self.quantize_colors:
             self._map_has_colors = False

@@ -5,6 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from gradslam_tpu import Pointclouds
 from gradslam_tpu.geometry import se3_exp, transform_pointcloud
 from gradslam_tpu.odometry import (
     gauss_newton_solve,
@@ -296,3 +297,29 @@ class TestReferenceParity:
             jnp.asarray(src), jnp.asarray(tgt), jnp.asarray(n), numiters=10
         )
         np.testing.assert_allclose(np.asarray(T), expected, atol=1e-5)
+
+
+class TestDownsampleOverflowAccounting:
+    def test_num_dropped_counts_capacity_overflow(self):
+        from gradslam_tpu.odometry.icputils import downsample_pointclouds
+
+        B, CAP = 1, 40
+        pts = jnp.asarray(np.random.RandomState(0).rand(B, CAP, 3), jnp.float32)
+        pc = Pointclouds(points=pts, num_points=jnp.asarray([CAP]))
+        active = jnp.ones((B, CAP), bool)
+        pix = jnp.zeros((B, CAP), jnp.int32)  # all stride-aligned
+        out = downsample_pointclouds(pc, active, pix, pix, 2, 16)
+        assert int(out.num_points[0]) == 16
+        assert int(out.num_dropped[0]) == CAP - 16
+
+    def test_num_dropped_zero_when_fits(self):
+        from gradslam_tpu.odometry.icputils import downsample_pointclouds
+
+        B, CAP = 1, 10
+        pts = jnp.asarray(np.random.RandomState(1).rand(B, CAP, 3), jnp.float32)
+        pc = Pointclouds(points=pts, num_points=jnp.asarray([CAP]))
+        active = jnp.ones((B, CAP), bool)
+        pix = jnp.zeros((B, CAP), jnp.int32)
+        out = downsample_pointclouds(pc, active, pix, pix, 2, 16)
+        assert int(out.num_points[0]) == CAP
+        assert int(out.num_dropped[0]) == 0

@@ -298,3 +298,20 @@ class TestShardedKNN:
         d, i = f(src, tgt, mask)
         np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
         np.testing.assert_allclose(np.asarray(d), np.asarray(d_ref), atol=1e-5)
+
+
+class TestChannelsFirstInput:
+    def test_channels_first_matches_channels_last(self, mesh):
+        # review regression: forward must normalize layout before reshaping
+        # images into (HW, C) rows.
+        frames = synthetic_frames(1, L=3, H=16, W=24)
+        cap = 8 * 256
+        sharded = MapShardedPointFusion(map_capacity=cap, mesh=mesh)
+        smap_a, poses_a = sharded(frames)
+        smap_b, poses_b = sharded(frames.to_channels_first())
+        np.testing.assert_array_equal(np.asarray(poses_a), np.asarray(poses_b))
+        np.testing.assert_allclose(
+            _sorted_rows(smap_a.to_pointclouds().points_list[0]),
+            _sorted_rows(smap_b.to_pointclouds().points_list[0]),
+            atol=1e-6,
+        )

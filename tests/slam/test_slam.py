@@ -598,3 +598,40 @@ class TestOverflowAccounting:
         sched = PointFusion(odom="gt", map_capacity=[(2, 50), (2, 4 * 16 * 24)])
         pc, _ = sched(frames)
         assert int(pc.num_dropped[0]) > 0  # first segment overflowed
+
+
+class TestReviewRegressions:
+    """Round-2 code-review regressions (tracked L==1, dsratio validation,
+    jitted gt step)."""
+
+    @pytest.mark.parametrize("odom", ["icp", "gradicp"])
+    def test_tracked_single_frame_sequence(self, synthetic_clip, odom):
+        # L == 1 means no scan segment runs — forward must return the
+        # bootstrap frame's map and pose instead of crashing on an empty
+        # chunk list.
+        frames = synthetic_clip(B=1, L=1, H=16, W=24)
+        slam = PointFusion(odom=odom, dsratio=2, numiters=2)
+        pc, poses = slam(frames)
+        assert poses.shape == (1, 1, 4, 4)
+        np.testing.assert_allclose(
+            np.asarray(poses[:, 0]), np.asarray(frames.poses[:, 0]), atol=1e-6
+        )
+        assert int(pc.num_points[0]) > 0
+
+    def test_dsratio_validated(self):
+        with pytest.raises(ValueError, match="dsratio"):
+            ICPSLAM(odom="icp", dsratio=0)
+        with pytest.raises(ValueError, match="dsratio"):
+            PointFusion(odom="gradicp", dsratio=-2)
+
+    def test_gt_step_uses_jitted_map(self, synthetic_clip):
+        # step()'s gt branch must dispatch one compiled program, not the
+        # fusion pipeline op-by-op (an order of magnitude slower online).
+        slam = PointFusion(odom="gt")
+        assert hasattr(slam._map_only, "lower")  # jax.jit wrapper
+        eager = PointFusion(odom="gt", use_jit=False)
+        assert not hasattr(eager._map_only, "lower")
+        frames = synthetic_clip(B=1, L=2, H=16, W=24)
+        pc = slam.empty_map(1, 2 * 16 * 24)
+        pc, pose = slam.step(pc, frames[:, 0])
+        assert int(pc.num_points[0]) > 0
