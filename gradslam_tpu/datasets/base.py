@@ -32,11 +32,13 @@ def chunk_sequence(
     end = num_frames if end is None else min(end, num_frames)
     dilation = 0 if dilation is None else dilation
     stride = seqlen * (dilation + 1) if stride is None else stride
-    if seqlen < 0:
+    # Strictly positive (the reference validates with `< 0` — tum.py:266-276 —
+    # so seqlen=0/stride=0 hang its chunking loop forever; fail loudly here).
+    if seqlen < 1:
         raise ValueError(f"seqlen must be positive. Got {seqlen}.")
     if dilation < 0:
         raise ValueError(f"dilation must be non-negative. Got {dilation}.")
-    if stride < 0:
+    if stride < 1:
         raise ValueError(f"stride must be positive. Got {stride}.")
     if start < 0:
         raise ValueError(f"start must be non-negative. Got {start}.")
@@ -228,6 +230,12 @@ class RGBDSequenceDataset:
             intrinsics = np.asarray(self.intrinsics_for(idx), dtype=np.float32)
             output.append(intrinsics)
         if self.return_pose or self.return_transform:
+            if "poses" not in sample:
+                raise ValueError(
+                    f"{type(self).__name__} provides no poses for this "
+                    "sequence; construct it with return_pose=False and "
+                    "return_transform=False."
+                )
             poses = np.stack(sample["poses"]).astype(np.float32)
             # re-base so frame 0 is identity (reference tum.py:497-499)
             poses = (np.linalg.inv(poses[0:1]) @ poses).astype(np.float32)

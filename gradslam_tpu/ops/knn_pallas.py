@@ -140,6 +140,19 @@ def nn_points_pallas(
     """
     src = jnp.asarray(src)
     tgt = jnp.asarray(tgt)
+    # Same validation as the XLA path (knn.py) — without it a mixed-rank
+    # call would silently read M from the wrong axis or die in an opaque
+    # broadcast error, and error behavior would depend on which backend
+    # nn_points_auto picked.
+    if src.shape[-1] != 3 or tgt.shape[-1] != 3:
+        raise ValueError(
+            f"src/tgt must have trailing dim 3. Got {src.shape} and {tgt.shape}."
+        )
+    if src.ndim != tgt.ndim or src.ndim not in (2, 3):
+        raise ValueError(
+            f"src and tgt must both be (N, 3) or (B, N, 3). "
+            f"Got {src.shape} and {tgt.shape}."
+        )
     batched = src.ndim == 3
     if not batched:
         src, tgt = src[None], tgt[None]

@@ -291,7 +291,24 @@ def fuse_with_map(
 ) -> Pointclouds:
     r"""Confidence-weighted merge of corresponded points plus append of
     un-corresponded live points (reference fusionutils.py:580-723).
+
+    Dense reference-parity path: the map must carry float colors and a
+    single ccount feature channel. Quantized-layout maps
+    (``PointFusion(quantize_colors=True)``) are only supported by the fast
+    path (:func:`update_map_fusion`) — here the confidence-weighted average
+    would silently broadcast into the packed-color channel.
     """
+    if (
+        pointclouds.colors is None
+        or pointclouds.normals is None
+        or pointclouds.features is None
+        or pointclouds.features.shape[-1] != 1
+    ):
+        raise ValueError(
+            "fuse_with_map (dense path) requires normals, float colors and a "
+            "single ccount feature channel; quantized-layout maps are "
+            "supported by update_map_fusion only."
+        )
     rgbdimages = rgbdimages.to_channels_last()
     B, _, H, W = rgbdimages.shape
     vertex_flat = rgbdimages.global_vertex_map.reshape(B, H * W, 3)
@@ -431,6 +448,18 @@ def update_map_fusion(
     - ``'auto'`` (default): 'gather' when ``capacity <= 6 * H * W``.
     """
     rgbdimages = rgbdimages.to_channels_last()
+    if rgbdimages.shape[1] != 1:
+        raise ValueError(
+            f"Expected rgbdimages to have sequence length of 1. "
+            f"Got {rgbdimages.shape[1]}."
+        )
+    if rgbdimages.poses is None:
+        raise ValueError("rgbdimages must have poses for map fusion.")
+    if pointclouds.normals is None or pointclouds.features is None:
+        raise ValueError(
+            "update_map_fusion needs a map with normals and features "
+            "(ccounts) — use the pipeline's empty_map() to build one."
+        )
     B, _, H, W = rgbdimages.shape
     cap = pointclouds.capacity
     HW = H * W
@@ -750,8 +779,6 @@ def prune_map(
         pointclouds.features[..., 0] >= min_confidence
     )
     cap = pointclouds.capacity
-    from ..structures.pointclouds import compact_masked
-
     points, counts = compact_masked(pointclouds.points, keep, cap)
     normals = None
     colors = None
@@ -772,6 +799,7 @@ def voxel_downsample(
     voxel_size: Union[float, int],
     *,
     reduce: str = "mean",
+    quantized_colors: bool = False,
 ) -> Pointclouds:
     r"""Voxel-grid decimation of a padded pointcloud batch (the open3d
     ``voxel_down_sample`` operation, absent from the reference — map
@@ -790,6 +818,12 @@ def voxel_downsample(
             of its voxel's points; attributes are averaged too, normals
             re-normalized) or ``'first'`` (keep the lowest-index point per
             voxel unchanged — like the fusion tie-break).
+        quantized_colors: set True for maps in the quantized layout
+            (``PointFusion(quantize_colors=True)``: ``colors=None``,
+            features ``[ccount, packed_color]``) — with ``reduce='mean'``
+            the packed channel is then unpacked, averaged and re-packed
+            (arithmetic-averaging ``r<<16|g<<8|b`` integers would garble
+            every multi-point voxel's color).
 
     Returns:
         A new ``Pointclouds`` with the same capacity, survivors packed to
@@ -800,6 +834,15 @@ def voxel_downsample(
         raise ValueError(f"voxel_size must be > 0. Got {voxel_size}.")
     if reduce not in ("mean", "first"):
         raise ValueError(f"Unknown reduce mode: {reduce!r}.")
+    if quantized_colors and (
+        pointclouds.colors is not None
+        or pointclouds.features is None
+        or pointclouds.features.shape[-1] != 2
+    ):
+        raise ValueError(
+            "quantized_colors=True expects the quantized map layout "
+            "(colors=None, features (B, CAP, 2) = [ccount, packed_color])."
+        )
     pts = pointclouds.points  # (B, CAP, 3)
     B, CAP, _ = pts.shape
     valid = pointclouds.nonpad_mask  # (B, CAP)
@@ -864,7 +907,15 @@ def voxel_downsample(
             new_nrm = jnp.where(
                 pos, new_nrm / jnp.sqrt(jnp.where(pos, n2, 1.0)), new_nrm)
         new_col = reduced(pointclouds.colors)
-        new_feat = reduced(pointclouds.features)
+        if quantized_colors:
+            # Unpack -> average -> re-pack: the packed r<<16|g<<8|b integers
+            # are not linear in color, so averaging them directly garbles
+            # every multi-point voxel.
+            cc_mean = reduced(pointclouds.features[..., 0:1])
+            col_mean = reduced(unpack_colors(pointclouds.features[..., 1:2]))
+            new_feat = jnp.concatenate([cc_mean, pack_colors(col_mean)], axis=-1)
+        else:
+            new_feat = reduced(pointclouds.features)
     else:  # 'first': keep the lowest-index point of each voxel unchanged
         def reduced(buf):
             return None if buf is None else gather_rows(buf)

@@ -72,9 +72,14 @@ class RGBDImages:
                 f"depth_image must have shape {expected_depth} matching rgb "
                 f"{rgb.shape}. Got {self.depth_image.shape}."
             )
-        if self.intrinsics.shape[0] != rgb.shape[0] or self.intrinsics.shape[-2:] != (4, 4):
+        # Strict (B, 1, 4, 4): per-frame (B, L, 4, 4) intrinsics would pass a
+        # loose check but every consumer reads intrinsics[:, 0] — frames
+        # would silently project with frame 0's K (reference rgbdimages.py
+        # requires the same shape).
+        if self.intrinsics.shape != (rgb.shape[0], 1, 4, 4):
             raise ValueError(
-                f"intrinsics must have shape (B, 1, 4, 4). Got {self.intrinsics.shape}."
+                f"intrinsics must have shape (B, 1, 4, 4) = "
+                f"({rgb.shape[0]}, 1, 4, 4). Got {self.intrinsics.shape}."
             )
         if self.poses is not None and self.poses.shape != rgb.shape[:2] + (4, 4):
             raise ValueError(

@@ -3,8 +3,9 @@ r"""Checkpoint / resume for SLAM state.
 The reference has no state serialization (SURVEY §5: checkpoint/resume
 ABSENT); its de-facto resumable state is the ``(pointclouds, poses)`` pair
 threaded through ``step()``. Here that state is an explicit pytree, so
-checkpointing is a first-class operation: orbax when available, npz fallback
-otherwise.
+checkpointing is a first-class operation: a dependency-free atomic ``.npz``
+writer (the state is a plain pytree — hand it to ``orbax.checkpoint`` for
+multi-host/async checkpointing).
 """
 
 from __future__ import annotations
@@ -34,7 +35,17 @@ def save_state(path: str, pointclouds, poses: Optional[jnp.ndarray] = None):
             arrays[name] = np.asarray(val)
     if poses is not None:
         arrays["poses"] = np.asarray(poses)
-    np.savez_compressed(path if path.endswith(".npz") else path + ".npz", **arrays)
+    dest = path if path.endswith(".npz") else path + ".npz"
+    # Atomic replace: periodic checkpointing overwrites the same file, and a
+    # crash mid-savez would otherwise truncate the ONLY resumable state.
+    tmp = dest + ".tmp"
+    try:
+        with open(tmp, "wb") as f:
+            np.savez_compressed(f, **arrays)
+        os.replace(tmp, dest)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
 
 
 def load_state(path: str):

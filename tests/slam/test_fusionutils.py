@@ -515,3 +515,114 @@ class TestVoxelDownsample:
             voxel_downsample(self._cloud(), 0.0)
         with pytest.raises(ValueError):
             voxel_downsample(self._cloud(), 1.0, reduce="median")
+
+
+class TestFusionValidationRegressions:
+    """Round-2 review: loud failures for misuse of the fusion entry points."""
+
+    def _quantized_map(self, n=6):
+        import numpy as np
+
+        from gradslam_tpu.slam.fusionutils import pack_colors
+
+        rng = np.random.RandomState(0)
+        pts = jnp.asarray(rng.rand(1, 8, 3), jnp.float32)
+        nrm = jnp.asarray(rng.rand(1, 8, 3), jnp.float32)
+        cols = jnp.asarray(rng.rand(1, 8, 3), jnp.float32)
+        feats = jnp.concatenate(
+            [jnp.ones((1, 8, 1)), pack_colors(cols)], axis=-1
+        )
+        return Pointclouds(
+            points=pts, num_points=jnp.asarray([n]), normals=nrm,
+            features=feats,
+        ), cols
+
+    def test_update_map_fusion_requires_poses(self, synthetic_clip):
+        from gradslam_tpu.slam.fusionutils import update_map_fusion
+
+        frames = synthetic_clip(B=1, L=1, H=8, W=12)
+        frames = RGBDImages(
+            frames.rgb_image, frames.depth_image, frames.intrinsics
+        )  # poses=None
+        pc = Pointclouds.empty(1, 64, has_normals=True, has_colors=True,
+                               feature_dim=1)
+        with pytest.raises(ValueError, match="poses"):
+            update_map_fusion(pc, frames, 0.05, 0.9, 0.6)
+
+    def test_update_map_fusion_requires_seqlen_one(self, synthetic_clip):
+        from gradslam_tpu.slam.fusionutils import update_map_fusion
+
+        frames = synthetic_clip(B=1, L=3, H=8, W=12)
+        pc = Pointclouds.empty(1, 64, has_normals=True, has_colors=True,
+                               feature_dim=1)
+        with pytest.raises(ValueError, match="sequence length"):
+            update_map_fusion(pc, frames, 0.05, 0.9, 0.6)
+
+    def test_update_map_fusion_requires_normals_features(self, synthetic_clip):
+        from gradslam_tpu.slam.fusionutils import update_map_fusion
+
+        frames = synthetic_clip(B=1, L=1, H=8, W=12)
+        bare = Pointclouds.empty(
+            1, 64, has_normals=False, has_colors=True, feature_dim=None
+        )
+        with pytest.raises(ValueError, match="normals and features"):
+            update_map_fusion(bare, frames, 0.05, 0.9, 0.6)
+
+    def test_fuse_with_map_rejects_quantized_layout(self, synthetic_clip):
+        from gradslam_tpu.slam.fusionutils import (
+            ActiveMapPoints, fuse_with_map,
+        )
+
+        frames = synthetic_clip(B=1, L=1, H=8, W=12)
+        pc, _ = self._quantized_map()
+        active = ActiveMapPoints(
+            valid=jnp.zeros((1, 8), bool),
+            pix_h=jnp.zeros((1, 8), jnp.int32),
+            pix_w=jnp.zeros((1, 8), jnp.int32),
+        )
+        with pytest.raises(ValueError, match="quantized"):
+            fuse_with_map(
+                pc, frames, active,
+                jnp.zeros((1, 8), bool), jnp.zeros((1, 8 * 12), bool), 0.6,
+            )
+
+    def test_voxel_downsample_quantized_colors(self):
+        import numpy as np
+
+        from gradslam_tpu.slam.fusionutils import (
+            pack_colors, unpack_colors, voxel_downsample,
+        )
+
+        # two points in ONE voxel with different colors + one lone point
+        pts = jnp.asarray(
+            [[[0.01, 0.01, 0.01], [0.02, 0.02, 0.02], [5.0, 5.0, 5.0]]],
+            jnp.float32,
+        )
+        cols = jnp.asarray(
+            [[[1.0, 0.0, 0.0], [0.0, 0.0, 1.0], [0.0, 1.0, 0.0]]], jnp.float32
+        )
+        feats = jnp.concatenate(
+            [jnp.ones((1, 3, 1)), pack_colors(cols)], axis=-1
+        )
+        pc = Pointclouds(
+            points=pts, num_points=jnp.asarray([3]),
+            normals=jnp.ones((1, 3, 3)), features=feats,
+        )
+        out = voxel_downsample(pc, 0.1, quantized_colors=True)
+        assert int(out.num_points[0]) == 2
+        got = np.asarray(unpack_colors(out.features[..., 1:2]))[0, :2]
+        # shared voxel: mean of red+blue (quantized to 8 bits); lone: green
+        mixed = got[np.argmax(got.sum(-1) < 1.5)]  # the (0.5, 0, 0.5) row
+        rows = {tuple(np.round(r, 2)) for r in got}
+        assert (0.5, 0.0, 0.5) in rows and (0.0, 1.0, 0.0) in rows, got
+        del mixed
+
+    def test_voxel_downsample_quantized_validation(self):
+        pc = Pointclouds(
+            points=jnp.zeros((1, 4, 3)), num_points=jnp.asarray([4]),
+            colors=jnp.zeros((1, 4, 3)),
+        )
+        from gradslam_tpu.slam.fusionutils import voxel_downsample
+
+        with pytest.raises(ValueError, match="quantized_colors"):
+            voxel_downsample(pc, 0.1, quantized_colors=True)
