@@ -27,6 +27,7 @@ import numpy as np
 
 from gradslam_tpu import ICPSLAM, PointFusion, RGBDImages
 from gradslam_tpu.datasets import TUM
+from gradslam_tpu.utils import parse_pyramid
 from gradslam_tpu.utils.checkpoint import load_state, save_state
 from gradslam_tpu.utils.trajectory_io import save_trajectory_tum
 
@@ -90,10 +91,7 @@ def main():
 
     cls = PointFusion if args.pipeline == "pointfusion" else ICPSLAM
     capacity = args.map_capacity or L * args.height * args.width
-    pyramid = None
-    if args.pyramid:
-        pyramid = [tuple(int(x) for x in lvl.split(":"))
-                   for lvl in args.pyramid.split(",")]
+    pyramid = parse_pyramid(args.pyramid)
     slam = cls(odom=args.odometry, map_capacity=capacity, pyramid=pyramid,
                robust_loss=args.robust_loss, robust_scale=args.robust_scale)
 

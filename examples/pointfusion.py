@@ -14,6 +14,7 @@ import numpy as np
 from gradslam_tpu import PointFusion, RGBDImages
 from gradslam_tpu.config import CfgNode
 from gradslam_tpu.datasets import ICL, TUM
+from gradslam_tpu.utils import parse_pyramid
 
 parser = argparse.ArgumentParser()
 parser.add_argument(
@@ -47,15 +48,6 @@ parser.add_argument("--visualize", action="store_true")
 args = parser.parse_args()
 
 
-def parse_pyramid(spec):
-    """'8:6,4:4' -> [(8, 6), (4, 4)] (None passes through)."""
-    if spec is None:
-        return None
-    try:
-        return [tuple(int(x) for x in level.split(":"))
-                for level in spec.split(",")]
-    except ValueError as e:
-        raise SystemExit(f"Bad --pyramid spec {spec!r}: {e}")
 
 
 def main():

@@ -799,7 +799,7 @@ def voxel_downsample(
     voxel_size: Union[float, int],
     *,
     reduce: str = "mean",
-    quantized_colors: bool = False,
+    quantized_colors: Optional[bool] = None,
 ) -> Pointclouds:
     r"""Voxel-grid decimation of a padded pointcloud batch (the open3d
     ``voxel_down_sample`` operation, absent from the reference — map
@@ -818,12 +818,15 @@ def voxel_downsample(
             of its voxel's points; attributes are averaged too, normals
             re-normalized) or ``'first'`` (keep the lowest-index point per
             voxel unchanged — like the fusion tie-break).
-        quantized_colors: set True for maps in the quantized layout
+        quantized_colors: whether the map uses the quantized layout
             (``PointFusion(quantize_colors=True)``: ``colors=None``,
             features ``[ccount, packed_color]``) — with ``reduce='mean'``
             the packed channel is then unpacked, averaged and re-packed
             (arithmetic-averaging ``r<<16|g<<8|b`` integers would garble
-            every multi-point voxel's color).
+            every multi-point voxel's color). Default ``None``
+            auto-detects the layout the same way :func:`update_map_fusion`
+            does (``colors is None`` and a 2-channel feature buffer);
+            pass an explicit bool to override.
 
     Returns:
         A new ``Pointclouds`` with the same capacity, survivors packed to
@@ -834,7 +837,17 @@ def voxel_downsample(
         raise ValueError(f"voxel_size must be > 0. Got {voxel_size}.")
     if reduce not in ("mean", "first"):
         raise ValueError(f"Unknown reduce mode: {reduce!r}.")
-    if quantized_colors and (
+    if quantized_colors is None:
+        # Same auto-detection as update_map_fusion: the quantized layout is
+        # the ONLY colorless 2-feature layout this library produces, and
+        # silently mean-averaging its packed integers garbles every
+        # multi-point voxel's color.
+        quantized_colors = (
+            pointclouds.colors is None
+            and pointclouds.features is not None
+            and pointclouds.features.shape[-1] == 2
+        )
+    elif quantized_colors and (
         pointclouds.colors is not None
         or pointclouds.features is None
         or pointclouds.features.shape[-1] != 2

@@ -1,4 +1,5 @@
 from .checkpoint import load_state, save_state
+from .cli import parse_pyramid
 from .precision import HIGHEST, einsum_hp, matmul_hp
 from .profiling import annotate, device_timer, trace
 from .trajectory_io import load_trajectory_tum, save_trajectory_tum
@@ -9,6 +10,7 @@ __all__ = [
     "matmul_hp",
     "save_state",
     "load_state",
+    "parse_pyramid",
     "annotate",
     "trace",
     "device_timer",

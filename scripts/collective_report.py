@@ -47,11 +47,18 @@ def main():
     ap.add_argument("--markdown", action="store_true")
     args = ap.parse_args()
 
-    os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
     sys.path.insert(0, REPO)
+    # Self-bootstrap an 8-device CPU mesh. setdefault on XLA_FLAGS is NOT
+    # enough: a pre-set XLA_FLAGS (common on TPU hosts) would leave 1 CPU
+    # device and the report would silently measure a 1-device mesh while
+    # labeling rows K=8. _bootstrap_devices rewrites a too-small count and
+    # forces the CPU platform via the config API.
+    from __graft_entry__ import _bootstrap_devices
+
+    devices = _bootstrap_devices(8)
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
+    assert len(devices) >= 8, f"CPU bootstrap produced {len(devices)} devices"
     import jax.numpy as jnp
 
     from gradslam_tpu import RGBDImages
@@ -66,7 +73,7 @@ def main():
         (8, 24, 32, 2, "gt"),
         (8, 16, 24, 2, "gradicp"),
     ]:
-        mesh = make_mesh(jax.devices()[:K], axis_name="map")
+        mesh = make_mesh(devices[:K], axis_name="map")
         B, L = 1, 2
         cap = K * 128 * cap_mult
         rgb, depth, intr, poses = synthetic_sequence(B, L, H, W)

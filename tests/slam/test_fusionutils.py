@@ -608,14 +608,16 @@ class TestFusionValidationRegressions:
             points=pts, num_points=jnp.asarray([3]),
             normals=jnp.ones((1, 3, 3)), features=feats,
         )
-        out = voxel_downsample(pc, 0.1, quantized_colors=True)
-        assert int(out.num_points[0]) == 2
-        got = np.asarray(unpack_colors(out.features[..., 1:2]))[0, :2]
-        # shared voxel: mean of red+blue (quantized to 8 bits); lone: green
-        mixed = got[np.argmax(got.sum(-1) < 1.5)]  # the (0.5, 0, 0.5) row
-        rows = {tuple(np.round(r, 2)) for r in got}
-        assert (0.5, 0.0, 0.5) in rows and (0.0, 1.0, 0.0) in rows, got
-        del mixed
+        # Explicit flag and default auto-detection (colors=None + 2-channel
+        # features IS the quantized layout — review r2: the default must not
+        # silently average packed integers) must agree.
+        for kwargs in ({"quantized_colors": True}, {}):
+            out = voxel_downsample(pc, 0.1, **kwargs)
+            assert int(out.num_points[0]) == 2
+            got = np.asarray(unpack_colors(out.features[..., 1:2]))[0, :2]
+            # shared voxel: mean of red+blue (8-bit quantized); lone: green
+            rows = {tuple(np.round(r, 2)) for r in got}
+            assert (0.5, 0.0, 0.5) in rows and (0.0, 1.0, 0.0) in rows, got
 
     def test_voxel_downsample_quantized_validation(self):
         pc = Pointclouds(
