@@ -256,6 +256,8 @@ def point_to_plane_ICP(
     """
     if lookahead_assoc not in ("fresh", "reuse"):
         raise ValueError(f"Unknown lookahead_assoc mode: {lookahead_assoc}")
+    if numiters < 1:
+        raise ValueError(f"numiters must be >= 1. Got {numiters}.")
     src0, tgt_pc, tgt_normals, init_T, damp0 = _icp_common_setup(
         src_pc, tgt_pc, tgt_normals, initial_transform, damp
     )
@@ -324,6 +326,11 @@ def point_to_plane_gradICP(
     """
     if lookahead_assoc not in ("fresh", "reuse"):
         raise ValueError(f"Unknown lookahead_assoc mode: {lookahead_assoc}")
+    if numiters < 1:
+        # A length-0 solver scan would die later on idx_hist[-1] with an
+        # opaque IndexError deep in the trace (the pyramid path already
+        # validates its per-level iteration counts).
+        raise ValueError(f"numiters must be >= 1. Got {numiters}.")
     src0, tgt_pc, tgt_normals, init_T, damp0 = _icp_common_setup(
         src_pc, tgt_pc, tgt_normals, initial_transform, damp
     )

@@ -12,6 +12,12 @@ _KNN_BACKEND = "auto"
 # (the Pallas kernel keeps the whole target set in VMEM: M * 16 bytes).
 _PALLAS_MAX_TARGET = 400_000
 
+# Total VMEM the Pallas kernel may keep resident (per batch element):
+# src4 + the two outputs (24 B/src row), tgt4 + invalid (20 B/tgt row), and
+# the (SRC_TILE, TGT_TILE) f32 distance tile. Kept under the ~16 MB/core
+# budget with headroom for Mosaic's own scratch.
+_PALLAS_VMEM_BUDGET = 13_000_000
+
 
 def set_knn_backend(backend: str):
     """Select the 1-NN implementation: 'auto' (default — fused Pallas kernel
@@ -32,13 +38,27 @@ def get_knn_backend() -> str:
     return _KNN_BACKEND
 
 
-def _resolve_backend(tgt) -> str:
+def _resolve_backend(src, tgt) -> str:
     if _KNN_BACKEND != "auto":
         return _KNN_BACKEND
     import jax
+    import jax.numpy as jnp
 
+    from .knn_pallas import _SRC_TILE, _TGT_TILE, _round_up
+
+    if jax.default_backend() != "tpu":
+        return "xla"
+    # The Pallas kernel computes in float32; routing f64/bf16 inputs there
+    # would make auto's output dtype depend on the backend picked. Only
+    # dispatch to it when the result is bit-identical in type to XLA's.
+    if src.dtype != jnp.float32 or tgt.dtype != jnp.float32:
+        return "xla"
+    N = src.shape[-2]
     M = tgt.shape[-2]
-    if jax.default_backend() == "tpu" and M <= _PALLAS_MAX_TARGET:
+    Np = _round_up(max(N, 1), _SRC_TILE)
+    Mp = _round_up(max(M, 1), _TGT_TILE)
+    resident = Np * 24 + Mp * 20 + _SRC_TILE * _TGT_TILE * 4
+    if M <= _PALLAS_MAX_TARGET and resident <= _PALLAS_VMEM_BUDGET:
         return "pallas"
     return "xla"
 
@@ -60,7 +80,7 @@ def nn_points_auto(src, tgt, tgt_mask=None):
     src = sg(src)
     tgt = sg(tgt)
     tgt_mask = None if tgt_mask is None else sg(tgt_mask)
-    if _resolve_backend(tgt) == "pallas":
+    if _resolve_backend(src, tgt) == "pallas":
         return nn_points_pallas(src, tgt, tgt_mask)
     return nn_points(src, tgt, tgt_mask)
 

@@ -76,8 +76,12 @@ def _nn_single(
 
     # The zero-value terms tie the init carry's type to the operands so the
     # scan is legal under shard_map when src/tgt vary over a mesh axis (the
-    # carry must carry the same varying-axes tag as the body output).
-    vma0f = 0.0 * (src[0, 0] + tgt[0, 0])
+    # carry must carry the same varying-axes tag as the body output). The
+    # isfinite guard keeps the coupling VALUE-free: without it a NaN/inf in
+    # src[0] or tgt[0] poisons the init best-dist and every row's
+    # association silently degenerates to index 0.
+    _v = src[0, 0] + tgt[0, 0]
+    vma0f = 0.0 * jnp.where(jnp.isfinite(_v), _v, 0.0)
     init = (
         jnp.full((N,), _INF, dtype=src.dtype) + vma0f,
         jnp.zeros((N,), dtype=jnp.int32) + vma0f.astype(jnp.int32),
@@ -121,7 +125,12 @@ def nn_points(
     if tgt_mask is None:
         invalid = jnp.zeros(tgt.shape[:-1], dtype=src.dtype)
     else:
-        invalid = jnp.where(jnp.asarray(tgt_mask), 0.0, _INF).astype(src.dtype)
+        tgt_mask = jnp.asarray(tgt_mask)
+        invalid = jnp.where(tgt_mask, 0.0, _INF).astype(src.dtype)
+        # Zero masked rows: a NaN/inf in padding garbage would otherwise make
+        # every distance in its tile NaN, silently excluding the whole tile's
+        # VALID targets from the min-reduction.
+        tgt = jnp.where(tgt_mask[..., None], tgt, 0.0)
     fn = functools.partial(_nn_single, tile_size=tile_size)
     if batched:
         return jax.vmap(fn)(src, tgt, invalid)
@@ -260,7 +269,11 @@ def knn_points(
         if tgt_mask is None:
             invalid = jnp.zeros(tgt.shape[:-1], dtype=src.dtype)
         else:
-            invalid = jnp.where(jnp.asarray(tgt_mask), 0.0, _INF).astype(src.dtype)
+            tgt_mask = jnp.asarray(tgt_mask)
+            invalid = jnp.where(tgt_mask, 0.0, _INF).astype(src.dtype)
+            # Zero masked rows (see nn_points): non-finite padding garbage
+            # must not poison its tile's top_k merge.
+            tgt = jnp.where(tgt_mask[..., None], tgt, 0.0)
         fn = functools.partial(_knn_k_single, K=K, tile_size=tile_size)
         d, i = jax.vmap(fn)(src, tgt, invalid)
 

@@ -133,10 +133,14 @@ def nn_points_pallas(
     tgt_mask: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     r"""Pallas 1-NN: same contract as :func:`gradslam_tpu.ops.knn.nn_points`
-    (squared distances + int32 indices; masked targets can't win).
+    (squared distances + int32 indices; masked targets can't win), except the
+    kernel computes in float32 — inputs are cast and float32 distances
+    returned regardless of input dtype (``nn_points_auto`` therefore only
+    routes float32 inputs here).
 
-    Requires the padded target set (``M * 16`` bytes) to fit in VMEM —
-    fine for all ICP workloads in this framework.
+    Requires the padded source AND target sets to fit in VMEM together
+    (``~24 B``/src row + ``~20 B``/tgt row) — fine for all ICP workloads in
+    this framework; ``nn_points_auto`` budget-checks before dispatching.
     """
     src = jnp.asarray(src)
     tgt = jnp.asarray(tgt)
@@ -162,6 +166,11 @@ def nn_points_pallas(
     Np = _round_up(max(N, 1), _SRC_TILE)
     Mp = _round_up(max(M, 1), _TGT_TILE)
 
+    if tgt_mask is not None:
+        tgt_mask = jnp.asarray(tgt_mask)
+        # Zero masked rows (see knn.nn_points): non-finite padding garbage
+        # would otherwise NaN every distance in its target tile.
+        tgt = jnp.where(tgt_mask[..., None], tgt, 0.0)
     src4 = jnp.zeros((B, Np, 4), dtype=jnp.float32).at[:, :N, :3].set(src)
     tgt4 = jnp.zeros((B, Mp, 4), dtype=jnp.float32).at[:, :M, :3].set(tgt)
     if tgt_mask is None:

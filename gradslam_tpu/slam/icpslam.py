@@ -20,6 +20,7 @@ color, and intrinsics.
 from __future__ import annotations
 
 import math
+import warnings
 from typing import Optional, Tuple
 
 import jax
@@ -144,6 +145,8 @@ class ICPSLAM:
         if not isinstance(dsratio, int) or dsratio < 1:
             raise ValueError(f"dsratio must be an int >= 1. Got {dsratio}.")
         self.dsratio = dsratio
+        if not isinstance(numiters, int) or numiters < 1:
+            raise ValueError(f"numiters must be an int >= 1. Got {numiters}.")
         self.map_capacity = map_capacity
         self.icp_capacity = icp_capacity
         if icp_window_frames is not None and icp_window_frames < 1:
@@ -242,6 +245,27 @@ class ICPSLAM:
         live_frame = live_frame.to_channels_last()
         prev_frame = None if prev_frame is None else prev_frame.to_channels_last()
         if prev_frame is None or self.odom == "gt":
+            # Reference parity (icpslam.py:219-230): warn on the two misuse
+            # shapes instead of silently fusing at the live_frame pose — a
+            # forgotten prev_frame with tracked odometry quietly corrupts
+            # the map otherwise. Like the reference, the None-with-tracking
+            # case only warns once the map is non-empty (frame 0 bootstrap
+            # legitimately passes prev_frame=None); skip silently if the
+            # counter is a tracer (user-jitted step).
+            if prev_frame is None and self.odom != "gt":
+                try:
+                    nonempty = bool(jnp.any(pointclouds.num_points > 0))
+                except jax.errors.TracerBoolConversionError:
+                    nonempty = False
+                if nonempty:
+                    warnings.warn(
+                        f"`prev_frame` was None despite odom='{self.odom}'; "
+                        "skipping odometry and using `live_frame.poses`. "
+                        "Thread the previous frame through step() to enable "
+                        "tracking."
+                    )
+            elif prev_frame is not None and self.odom == "gt":
+                warnings.warn("`prev_frame` is not used when `odom='gt'`.")
             poses = live_frame.poses
             new_map = self._map_only(pointclouds, live_frame)
             return new_map, poses
@@ -461,13 +485,15 @@ class ICPSLAM:
         def body(carry, xs):
             map_pc, prev_pose = carry
             rgb, depth, idx = xs
-            prev_proxy = RGBDImages(
-                rgb[:, None], depth[:, None], intrinsics, prev_pose[:, None]
-            )
+            # _localize reads only poses/intrinsics/shape from its
+            # prev_frame argument (the active-map projection camera), so the
+            # live frame — carrying the previous pose until odometry updates
+            # it — serves as both arguments. There is no previous-frame
+            # imagery in the carry, unlike the reference's frame pairs.
             live = RGBDImages(
                 rgb[:, None], depth[:, None], intrinsics, prev_pose[:, None]
             )
-            poses = self._localize(map_pc, live, prev_proxy)  # (B, 1, 4, 4)
+            poses = self._localize(map_pc, live, live)  # (B, 1, 4, 4)
             live = live.with_poses(poses)
             map_pc = self._maybe_prune(self._map(map_pc, live), idx)
             return (map_pc, poses[:, 0]), poses[:, 0]

@@ -303,6 +303,14 @@ class Pointclouds:
     def __getitem__(self, index) -> "Pointclouds":
         """Batch indexing; returns a Pointclouds with the selected batch rows."""
         if isinstance(index, int):
+            B = self.points.shape[0]
+            if not -B <= index < B:
+                # slicing past the end would silently return an EMPTY batch,
+                # hiding the caller's bug far downstream (review r2); list
+                # indexing in the reference raises here too.
+                raise IndexError(
+                    f"Batch index {index} out of range for {B} pointclouds."
+                )
             # keep the batch dim; -1 must select the LAST row, not an empty
             # slice (slice(-1, 0) is empty)
             index = slice(index, index + 1 if index != -1 else None)

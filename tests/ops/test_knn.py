@@ -77,6 +77,40 @@ class TestNNPoints:
         with pytest.raises(ValueError):
             nn_points(jnp.zeros((10, 3)), jnp.zeros((2, 10, 3)))
 
+    def test_nan_in_first_row_does_not_poison_other_rows(self):
+        # Review r2 (confirmed by execution): the shard_map vma-coupling term
+        # 0.0 * (src[0,0] + tgt[0,0]) turned the init best-dist NaN whenever
+        # either first element was non-finite, degrading EVERY row's
+        # association to index 0.
+        rng = np.random.RandomState(6)
+        src = rng.randn(40, 3).astype(np.float32)
+        tgt = rng.randn(60, 3).astype(np.float32)
+        bd, bi = brute_force(src, tgt)
+        src_nan = src.copy()
+        src_nan[0] = np.nan
+        d, i = nn_points(jnp.asarray(src_nan), jnp.asarray(tgt), tile_size=32)
+        # rows 1.. keep their true nearest neighbour
+        np.testing.assert_array_equal(np.asarray(i)[1:], bi[1:])
+        np.testing.assert_allclose(np.asarray(d)[1:], bd[1:], atol=1e-5)
+
+    def test_nan_in_masked_target_rows_is_harmless(self):
+        # Non-finite garbage in PADDING rows must not NaN its whole target
+        # tile (which would exclude that tile's valid targets from the min).
+        rng = np.random.RandomState(7)
+        src = rng.randn(30, 3).astype(np.float32)
+        tgt = rng.randn(64, 3).astype(np.float32)
+        mask = np.ones(64, dtype=bool)
+        mask[50:] = False
+        tgt_nan = tgt.copy()
+        tgt_nan[50:] = np.nan
+        d, i = nn_points(
+            jnp.asarray(src), jnp.asarray(tgt_nan), jnp.asarray(mask),
+            tile_size=32,
+        )
+        bd, bi = brute_force(src, tgt[:50])
+        np.testing.assert_array_equal(np.asarray(i), bi)
+        np.testing.assert_allclose(np.asarray(d), bd, atol=1e-5)
+
 
 class TestKNNPointsK:
     """chamferdist-compatible K-NN (K > 1 via the streaming top-K path)."""

@@ -63,4 +63,24 @@ class TestBackendSwitch:
 
         tgt = jnp.zeros((128, 3), jnp.float32)
         if jax.default_backend() != "tpu":
-            assert _resolve_backend(tgt) == "xla"
+            assert _resolve_backend(tgt, tgt) == "xla"
+
+    def test_auto_guards_src_vmem_and_dtype(self):
+        # Review r2: the guard must bound the SOURCE side too (the kernel
+        # keeps all of src in VMEM) and must not route non-f32 inputs to the
+        # f32-only kernel. Exercise the guard logic directly (host-side
+        # arithmetic; holds on any backend).
+        import gradslam_tpu.ops as ops
+
+        small = jnp.zeros((1000, 3), jnp.float32)
+        huge_src = jnp.zeros((900_000, 3), jnp.float32)  # ~14 MB padded src4
+        resident = (
+            ops.knn_pallas._round_up(900_000, ops.knn_pallas._SRC_TILE) * 24
+            + ops.knn_pallas._round_up(1000, ops.knn_pallas._TGT_TILE) * 20
+            + ops.knn_pallas._SRC_TILE * ops.knn_pallas._TGT_TILE * 4
+        )
+        assert resident > ops._PALLAS_VMEM_BUDGET
+        assert ops._resolve_backend(huge_src, small) == "xla"
+        f64 = jnp.zeros((128, 3), jnp.float64)  # x64 disabled -> f32; checks dtype path
+        if f64.dtype != jnp.float32:
+            assert ops._resolve_backend(f64, f64) == "xla"

@@ -624,6 +624,25 @@ class TestReviewRegressions:
         with pytest.raises(ValueError, match="dsratio"):
             PointFusion(odom="gradicp", dsratio=-2)
 
+    def test_step_warns_on_misused_prev_frame(self, synthetic_clip):
+        # Reference parity (icpslam.py:219-230): a forgotten prev_frame with
+        # tracked odometry quietly fuses at the stale live pose — warn once
+        # the map is non-empty; odom='gt' with a prev_frame warns it's
+        # unused. Frame-0 bootstrap (empty map) must NOT warn.
+        import warnings as _w
+
+        frames = synthetic_clip(B=1, L=2, H=16, W=24)
+        slam = PointFusion(odom="gradicp", dsratio=2, numiters=2)
+        empty = slam.empty_map(1, 2 * 16 * 24)
+        with _w.catch_warnings():
+            _w.simplefilter("error")  # bootstrap: no warning
+            pc, _ = slam.step(empty, frames[:, 0])
+        with pytest.warns(UserWarning, match="prev_frame.*was None"):
+            slam.step(pc, frames[:, 1])
+        gt = PointFusion(odom="gt")
+        with pytest.warns(UserWarning, match="not used"):
+            gt.step(gt.empty_map(1, 2 * 16 * 24), frames[:, 1], frames[:, 0])
+
     def test_gt_step_uses_jitted_map(self, synthetic_clip):
         # step()'s gt branch must dispatch one compiled program, not the
         # fusion pipeline op-by-op (an order of magnitude slower online).

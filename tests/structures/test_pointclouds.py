@@ -310,6 +310,18 @@ class TestLegacyReviewFixes:
             np.asarray(pc[-2].points_list[0]), np.asarray(pc[1].points_list[0])
         )
 
+    def test_out_of_range_int_index_raises(self):
+        # Slicing past the end used to silently return an EMPTY batch,
+        # hiding the caller's bug far downstream (review r2).
+        pc = Pointclouds.from_list(
+            [np.ones((2, 3), np.float32) for _ in range(2)], capacity=4
+        )
+        with pytest.raises(IndexError):
+            pc[2]
+        with pytest.raises(IndexError):
+            pc[-3]
+        assert len(pc[1]) == 1 and len(pc[-2]) == 1  # in-range still fine
+
     def test_rgbdimages_negative_index(self):
         from gradslam_tpu import RGBDImages
 

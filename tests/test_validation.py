@@ -218,6 +218,17 @@ class TestOdometry:
         with pytest.raises(ValueError):
             icputils.point_to_plane_gradICP(pc, pc, pc, lookahead_assoc="bogus")
 
+    def test_icp_solvers_bad_numiters(self):
+        # numiters=0 used to reach a length-0 scan and die on idx_hist[-1]
+        # with an opaque IndexError deep in the trace (review r2).
+        pc = jnp.zeros((10, 3))
+        with pytest.raises(ValueError, match="numiters"):
+            icputils.point_to_plane_ICP(pc, pc, pc, numiters=0)
+        with pytest.raises(ValueError, match="numiters"):
+            icputils.point_to_plane_gradICP(pc, pc, pc, numiters=0)
+        with pytest.raises(ValueError, match="numiters"):
+            ICPSLAM(odom="icp", numiters=0)
+
     def test_downsample_type_errors(self):
         with pytest.raises(TypeError):
             icputils.downsample_rgbdimages("frames", 4)
