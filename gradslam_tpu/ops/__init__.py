@@ -9,7 +9,8 @@ from .knn_pallas import nn_points_pallas
 _KNN_BACKEND = "auto"
 
 # Padded target sets larger than this fall back to the XLA streaming kernel
-# (the Pallas kernel keeps the whole target set in VMEM: M * 16 bytes).
+# (the Pallas kernel keeps the whole padded target set resident in VMEM —
+# see _PALLAS_VMEM_BUDGET below for the byte accounting).
 _PALLAS_MAX_TARGET = 400_000
 
 # Total VMEM the Pallas kernel may keep resident (per batch element):
@@ -48,6 +49,10 @@ def _resolve_backend(src, tgt) -> str:
 
     if jax.default_backend() != "tpu":
         return "xla"
+    # Malformed ranks go to the XLA path, whose validation raises the clean
+    # rank/shape ValueError (nn_points_pallas would die on shape[-2]).
+    if src.ndim < 2 or tgt.ndim < 2:
+        return "xla"
     # The Pallas kernel computes in float32; routing f64/bf16 inputs there
     # would make auto's output dtype depend on the backend picked. Only
     # dispatch to it when the result is bit-identical in type to XLA's.
@@ -75,11 +80,14 @@ def nn_points_auto(src, tgt, tgt_mask=None):
     use :func:`nn_points` / :func:`knn_points` directly.
     """
     import jax
+    import jax.numpy as jnp
 
     sg = jax.lax.stop_gradient
-    src = sg(src)
-    tgt = sg(tgt)
-    tgt_mask = None if tgt_mask is None else sg(tgt_mask)
+    # asarray first: _resolve_backend reads .dtype/.shape, which a Python
+    # list/tuple input (accepted by both kernels) doesn't have.
+    src = sg(jnp.asarray(src))
+    tgt = sg(jnp.asarray(tgt))
+    tgt_mask = None if tgt_mask is None else sg(jnp.asarray(tgt_mask))
     if _resolve_backend(src, tgt) == "pallas":
         return nn_points_pallas(src, tgt, tgt_mask)
     return nn_points(src, tgt, tgt_mask)

@@ -34,6 +34,23 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _apply_tgt_mask(
+    tgt: jnp.ndarray, tgt_mask: Optional[jnp.ndarray], dtype
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Shared masked-target preprocessing for every KNN backend.
+
+    Returns ``(tgt_zeroed, invalid)``: masked rows are ZEROED (a NaN/inf in
+    padding garbage would otherwise poison its whole tile's min/top-k
+    reduction, silently excluding the tile's VALID targets) and ``invalid``
+    carries the +inf distance penalty that keeps masked rows from winning.
+    """
+    if tgt_mask is None:
+        return tgt, jnp.zeros(tgt.shape[:-1], dtype=dtype)
+    tgt_mask = jnp.asarray(tgt_mask)
+    invalid = jnp.where(tgt_mask, 0.0, _INF).astype(dtype)
+    return jnp.where(tgt_mask[..., None], tgt, 0.0), invalid
+
+
 @functools.partial(jax.jit, static_argnames=("tile_size",))
 def _nn_single(
     src: jnp.ndarray,  # (N, 3)
@@ -122,15 +139,7 @@ def nn_points(
             f"src and tgt must have the same rank. Got {src.shape} and {tgt.shape}."
         )
     batched = src.ndim == 3
-    if tgt_mask is None:
-        invalid = jnp.zeros(tgt.shape[:-1], dtype=src.dtype)
-    else:
-        tgt_mask = jnp.asarray(tgt_mask)
-        invalid = jnp.where(tgt_mask, 0.0, _INF).astype(src.dtype)
-        # Zero masked rows: a NaN/inf in padding garbage would otherwise make
-        # every distance in its tile NaN, silently excluding the whole tile's
-        # VALID targets from the min-reduction.
-        tgt = jnp.where(tgt_mask[..., None], tgt, 0.0)
+    tgt, invalid = _apply_tgt_mask(tgt, tgt_mask, src.dtype)
     fn = functools.partial(_nn_single, tile_size=tile_size)
     if batched:
         return jax.vmap(fn)(src, tgt, invalid)
@@ -262,18 +271,14 @@ def knn_points(
         )
         tgt_mask = range_mask if tgt_mask is None else (tgt_mask & range_mask)
 
+    # Zero masked rows ONCE, before the K dispatch: both reduction kernels
+    # (NaN-poisoning guard) and the return_nn gather below read tgt, and the
+    # gathered padding values must not depend on K.
+    tgt, invalid = _apply_tgt_mask(tgt, tgt_mask, src.dtype)
     if K == 1:
         d, i = nn_points(src, tgt, tgt_mask, tile_size=tile_size)
         d, i = d[..., None], i[..., None]
     else:
-        if tgt_mask is None:
-            invalid = jnp.zeros(tgt.shape[:-1], dtype=src.dtype)
-        else:
-            tgt_mask = jnp.asarray(tgt_mask)
-            invalid = jnp.where(tgt_mask, 0.0, _INF).astype(src.dtype)
-            # Zero masked rows (see nn_points): non-finite padding garbage
-            # must not poison its tile's top_k merge.
-            tgt = jnp.where(tgt_mask[..., None], tgt, 0.0)
         fn = functools.partial(_knn_k_single, K=K, tile_size=tile_size)
         d, i = jax.vmap(fn)(src, tgt, invalid)
 

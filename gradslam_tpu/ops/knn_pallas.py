@@ -26,6 +26,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .knn import _apply_tgt_mask
+
 __all__ = ["nn_points_pallas"]
 
 _SRC_TILE = 512
@@ -168,9 +170,9 @@ def nn_points_pallas(
 
     if tgt_mask is not None:
         tgt_mask = jnp.asarray(tgt_mask)
-        # Zero masked rows (see knn.nn_points): non-finite padding garbage
-        # would otherwise NaN every distance in its target tile.
-        tgt = jnp.where(tgt_mask[..., None], tgt, 0.0)
+        # Shared masked-target preprocessing (zeroes NaN/inf padding garbage
+        # that would otherwise poison its whole target tile).
+        tgt, _ = _apply_tgt_mask(tgt, tgt_mask, jnp.float32)
     src4 = jnp.zeros((B, Np, 4), dtype=jnp.float32).at[:, :N, :3].set(src)
     tgt4 = jnp.zeros((B, Mp, 4), dtype=jnp.float32).at[:, :M, :3].set(tgt)
     if tgt_mask is None:

@@ -262,10 +262,13 @@ class ICPSLAM:
                         f"`prev_frame` was None despite odom='{self.odom}'; "
                         "skipping odometry and using `live_frame.poses`. "
                         "Thread the previous frame through step() to enable "
-                        "tracking."
+                        "tracking.",
+                        stacklevel=2,
                     )
             elif prev_frame is not None and self.odom == "gt":
-                warnings.warn("`prev_frame` is not used when `odom='gt'`.")
+                warnings.warn(
+                    "`prev_frame` is not used when `odom='gt'`.", stacklevel=2
+                )
             poses = live_frame.poses
             new_map = self._map_only(pointclouds, live_frame)
             return new_map, poses

@@ -93,6 +93,18 @@ class TestNNPoints:
         np.testing.assert_array_equal(np.asarray(i)[1:], bi[1:])
         np.testing.assert_allclose(np.asarray(d)[1:], bd[1:], atol=1e-5)
 
+    def test_auto_accepts_non_array_inputs(self):
+        # Review r2: _resolve_backend reads .dtype/.shape — a Python-list
+        # src (accepted by both kernels via jnp.asarray) must not crash the
+        # auto front door.
+        from gradslam_tpu.ops import nn_points_auto
+
+        d, i = nn_points_auto([[0.0, 0.0, 0.0]], jnp.zeros((5, 3), jnp.float32))
+        assert d.shape == (1,) and i.shape == (1,)
+        # malformed rank still raises the clean ValueError, not IndexError
+        with pytest.raises(ValueError):
+            nn_points_auto(jnp.zeros((3,)), jnp.zeros((5, 3)))
+
     def test_nan_in_masked_target_rows_is_harmless(self):
         # Non-finite garbage in PADDING rows must not NaN its whole target
         # tile (which would exclude that tile's valid targets from the min).
@@ -129,6 +141,26 @@ class TestKNNPointsK:
         bd, bi = self.brute_topk(src, tgt, K)
         np.testing.assert_allclose(np.asarray(res.dists), bd, atol=1e-4)
         np.testing.assert_array_equal(np.asarray(res.idx), bi)
+
+    def test_nan_in_masked_rows_and_k_independent_nn_padding(self):
+        # Review r2: (a) non-finite garbage past lengths2 must not poison the
+        # top-K merge; (b) with return_nn, the values gathered for masked
+        # slots must not depend on K (K==1 used to gather from the RAW tgt,
+        # K>1 from the zeroed copy).
+        rng = np.random.RandomState(11)
+        src = rng.randn(20, 3).astype(np.float32)
+        tgt = rng.randn(64, 3).astype(np.float32)
+        tgt_nan = tgt.copy()
+        tgt_nan[40:] = np.nan
+        for K in (1, 3):
+            res = knn_points(
+                jnp.asarray(src), jnp.asarray(tgt_nan),
+                lengths2=jnp.asarray(40), K=K, return_nn=True, tile_size=32,
+            )
+            bd, bi = self.brute_topk(src, tgt[:40], K)
+            np.testing.assert_array_equal(np.asarray(res.idx), bi)
+            np.testing.assert_allclose(np.asarray(res.dists), bd, atol=1e-4)
+            assert np.isfinite(np.asarray(res.knn)).all(), f"K={K}"
 
     def test_batched_with_lengths_and_nn(self):
         rng = np.random.RandomState(2)

@@ -37,6 +37,23 @@ class TestPallasKNN:
         d2, i2 = nn_points_pallas(src, tgt, mask)
         np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
 
+    def test_nan_in_masked_target_rows_is_harmless(self):
+        # Review r2: non-finite padding garbage must not NaN its whole
+        # target tile in the Pallas kernel either (shared _apply_tgt_mask).
+        rng = np.random.RandomState(8)
+        src = rng.randn(30, 3).astype(np.float32)
+        tgt = rng.randn(64, 3).astype(np.float32)
+        mask = np.ones(64, dtype=bool)
+        mask[50:] = False
+        tgt_nan = tgt.copy()
+        tgt_nan[50:] = np.nan
+        d1, i1 = nn_points(jnp.asarray(src), jnp.asarray(tgt[:50]))
+        d2, i2 = nn_points_pallas(
+            jnp.asarray(src), jnp.asarray(tgt_nan), jnp.asarray(mask)
+        )
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-4)
+
     def test_batched(self):
         rng = np.random.RandomState(2)
         src = jnp.asarray(rng.randn(2, 50, 3).astype(np.float32))
