@@ -91,6 +91,16 @@ class Pointclouds:
     num_dropped: Optional[jnp.ndarray] = None  # (B,) int32
 
     def __post_init__(self):
+        # Migration ergonomics: accept torch tensors (converted to numpy on
+        # the host); numpy/jax inputs pass through untouched.
+        from .structutils import coerce_torch
+
+        for name in ("points", "num_points", "normals", "colors", "features",
+                     "num_dropped"):
+            val = getattr(self, name)
+            coerced = coerce_torch(val)
+            if coerced is not val:
+                object.__setattr__(self, name, coerced)
         pts = self.points
         if hasattr(pts, "ndim") and not isinstance(pts, jax.core.Tracer):
             if pts.ndim != 3 or pts.shape[-1] != 3:

@@ -52,6 +52,15 @@ class RGBDImages:
     )
 
     def __post_init__(self):
+        # Migration ergonomics: accept torch tensors (converted to numpy on
+        # the host); numpy/jax inputs pass through untouched.
+        from .structutils import coerce_torch
+
+        for name in ("rgb_image", "depth_image", "intrinsics", "poses"):
+            val = getattr(self, name)
+            coerced = coerce_torch(val)
+            if coerced is not val:
+                object.__setattr__(self, name, coerced)
         rgb = self.rgb_image
         if not hasattr(rgb, "ndim") or isinstance(rgb, jax.core.Tracer):
             return
@@ -205,7 +214,9 @@ class RGBDImages:
     def with_poses(self, poses) -> "RGBDImages":
         """Copy with ``poses (B, L, 4, 4)`` attached (the functional form of
         the reference poses setter, rgbdimages.py:411)."""
-        return dataclasses.replace(self, poses=jnp.asarray(poses))
+        from .structutils import coerce_torch
+
+        return dataclasses.replace(self, poses=jnp.asarray(coerce_torch(poses)))
 
     # Tensor-semantics conveniences (reference clone/detach/to,
     # rgbdimages.py:465-541).

@@ -11,6 +11,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = [
+    "coerce_torch",
     "list_to_padded",
     "padded_to_list",
     "numpy_to_plotly_image",
@@ -19,6 +20,22 @@ __all__ = [
     "animation_slider",
     "animation_updatemenus",
 ]
+
+
+def coerce_torch(x):
+    """Convert a ``torch.Tensor`` to a host numpy array; pass everything else
+    through untouched.
+
+    The structure constructors call this so reference users migrating a torch
+    pipeline (the whole audience of ``docs/migration.md``) can feed torch
+    tensors directly — ``jnp`` does not understand torch dtypes, so without
+    this the tensor is stored raw and dies later in the first ``jnp`` op with
+    an opaque dtype error. Detached + copied to CPU; autograd history does
+    not cross the framework boundary. Duck-typed on the module name so torch
+    is never imported here."""
+    if x is not None and type(x).__module__.partition(".")[0] == "torch":
+        return np.asarray(x.detach().cpu())
+    return x
 
 
 def _frame_args(duration):
