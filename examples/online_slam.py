@@ -55,6 +55,12 @@ parser.add_argument(
 )
 parser.add_argument("--robust-scale", type=float, default=0.05)
 parser.add_argument(
+    "--motion-model", type=str, default="static",
+    choices=["static", "constant_velocity"],
+    help="odometry initialization: zero-motion (default) or the "
+    "constant-velocity prior (threads the previous relative transform "
+    "into each step; better under fast steady motion)")
+parser.add_argument(
     "--export-voxel-size", type=float, default=None,
     help="If set, voxel-grid decimate the map (voxel edge in meters) "
     "before writing map.ply.",
@@ -120,6 +126,12 @@ def main():
     prev = None
     if start > 0:
         prev = frame(start - 1, traj[-1][None, None])
+    # constant-velocity prior: the previous step's relative transform,
+    # threaded through the stateless step API (resume restarts from a
+    # zero-motion prior — the checkpoint stores poses, and the first resumed
+    # step re-derives nothing; one frame of warm-up is lost, not accuracy)
+    cv = args.motion_model == "constant_velocity"
+    prev_transform = None
 
     for s in range(start, L):
         if args.odometry == "gt" or prev is None:
@@ -127,7 +139,17 @@ def main():
             pc, new_pose = slam.step(pc, live)
         else:
             live = frame(s, None)
-            pc, new_pose = slam.step(pc, live, prev)
+            pc, new_pose = slam.step(pc, live, prev,
+                                     prev_transform=prev_transform)
+            if cv:
+                from gradslam_tpu.geometry import (
+                    compose_transformations,
+                    inverse_transformation,
+                )
+
+                prev_transform = compose_transformations(
+                    new_pose[:, 0], inverse_transformation(prev.poses[:, 0])
+                )
         traj.append(new_pose[0, 0])
         prev = frame(s, new_pose)
         if args.prune_every and (s + 1) % args.prune_every == 0:

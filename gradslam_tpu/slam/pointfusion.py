@@ -46,6 +46,7 @@ class PointFusion(ICPSLAM):
         map_capacity: Optional[int] = None,
         icp_capacity: Optional[int] = None,
         icp_window_frames: Optional[int] = None,
+        motion_model: str = "static",
         lookahead_assoc: str = "fresh",
         active_capacity: Optional[int] = None,
         association: str = "auto",
@@ -84,6 +85,7 @@ class PointFusion(ICPSLAM):
             map_capacity=map_capacity,
             icp_capacity=icp_capacity,
             icp_window_frames=icp_window_frames,
+            motion_model=motion_model,
             lookahead_assoc=lookahead_assoc,
             prune_every=prune_every,
             prune_min_confidence=prune_min_confidence,

@@ -133,13 +133,16 @@ def run(out_path=None):
                          quantize_colors=True)
     timed("PointFusion(gradicp, reuse+quantized) 320x240 frames/s", gicp_q,
           frames, B, L, baseline=0.323, ate=True)
-    # coarse-to-fine odometry: 8 iters at ds=8 + 3 at ds=4 replaces 10 at
-    # ds=4 (KNN cost ~1/ds^4 per iteration); ATE identical to the flat
-    # solve on this clip (1.3e-5 m both, measured).
-    gicp_p = PointFusion(odom="gradicp", pyramid=[(8, 8), (4, 3)],
+    # coarse-to-fine odometry: 6 iters at ds=8 + 2 at ds=4 replaces 10 at
+    # ds=4 (KNN cost ~1/ds^4 per iteration). Schedule picked by a measured
+    # sweep (v5e): 8:8+4:3 155.9 fps, 8:8+4:2 170.8, 8:6+4:2 175.9,
+    # 16:4+8:4+4:2 154.7 (a third level doesn't pay) — all at ATE 1.27e-5 m
+    # on this clip, and within 4% of the flat solve's ATE on the real ICL
+    # golden clip (4.97e-4/4.12e-4 vs 4.87e-4/3.98e-4 m).
+    gicp_p = PointFusion(odom="gradicp", pyramid=[(8, 6), (4, 2)],
                          map_capacity=gicp_sched, lookahead_assoc="reuse",
                          quantize_colors=True)
-    timed("PointFusion(gradicp, pyramid 8:8+4:3, reuse+quantized) 320x240 frames/s",
+    timed("PointFusion(gradicp, pyramid 8:6+4:2, reuse+quantized) 320x240 frames/s",
           gicp_p, frames, B, L, baseline=0.323, ate=True)
 
     # config 4: large map / long sequence (BASELINE.md #4 analogue — no

@@ -80,6 +80,21 @@ class TestExampleCLIs:
 
 class TestOnlineSlamCLI:
     @pytest.mark.slow
+    def test_constant_velocity_tracked_stream(self, fake_tum, tmp_path):
+        # tracked odometry with the constant-velocity prior threaded through
+        # the stateless step API (--motion-model constant_velocity)
+        out = str(tmp_path / "cv")
+        r = run_example(
+            "online_slam.py", "--dataset_path", fake_tum,
+            "--odometry", "icp", "--motion-model", "constant_velocity",
+            "--seqlen", "3", "--height", "24", "--width", "32",
+            "--map_capacity", "4000", "--out", out,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "frame 2:" in r.stdout
+        assert os.path.exists(os.path.join(out, "trajectory.txt"))
+
+    @pytest.mark.slow
     def test_stream_checkpoint_resume_and_evaluate(self, fake_tum, tmp_path):
         out = str(tmp_path / "run")
         common = [

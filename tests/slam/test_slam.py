@@ -654,3 +654,90 @@ class TestReviewRegressions:
         pc = slam.empty_map(1, 2 * 16 * 24)
         pc, pose = slam.step(pc, frames[:, 0])
         assert int(pc.num_points[0]) > 0
+
+
+class TestMotionModel:
+    """Constant-velocity odometry prior (`motion_model='constant_velocity'`,
+    `step(prev_transform=...)`) — a capability the reference lacks: each
+    frame's solve warm-starts from (and projects the association window at)
+    the previous frame's relative transform."""
+
+    def _clip(self, speed, L=6, H=32, W=48):
+        from gradslam_tpu.datasets import synthetic_sequence
+
+        rgb, depth, K, poses = synthetic_sequence(1, L, H, W, seed=0, speed=speed)
+        return RGBDImages(
+            jnp.asarray(rgb), jnp.asarray(depth), jnp.asarray(K),
+            jnp.asarray(poses),
+        )
+
+    def test_validates(self):
+        with pytest.raises(ValueError, match="motion_model"):
+            ICPSLAM(odom="icp", motion_model="kalman")
+
+    def test_tracks_when_motion_slow(self):
+        # At slow motion the zero-motion prior is already near-optimal and
+        # the CV prior feeds the previous solve's error into the next init —
+        # it must still track at the millimeter level (measured: 1.2e-3 vs
+        # static's 5.5e-4 on this clip), it just isn't the right default.
+        from gradslam_tpu.metrics import ate_rmse
+
+        frames = self._clip(speed=1.0)
+        ates = {}
+        for mm in ("static", "constant_velocity"):
+            slam = ICPSLAM(odom="icp", dsratio=2, numiters=10, motion_model=mm)
+            _, op = slam(frames)
+            ates[mm] = float(ate_rmse(op[0], frames.poses[0], align=False))
+        assert ates["constant_velocity"] < 2e-3, ates
+        assert ates["static"] < 2e-3, ates
+
+    def test_tracks_fast_motion_better(self):
+        # Fast steady pan + few solver iterations: the zero-motion prior
+        # starts each solve far from the optimum AND mis-centers the
+        # projective association window; the CV prior fixes both.
+        # Calibrated on CPU: static 1.70e-3 vs cv 1.12e-3 at speed 16.
+        from gradslam_tpu.metrics import ate_rmse
+
+        frames = self._clip(speed=16.0)
+        ates = {}
+        for mm in ("static", "constant_velocity"):
+            slam = ICPSLAM(odom="icp", dsratio=2, numiters=3, motion_model=mm)
+            _, op = slam(frames)
+            ates[mm] = float(ate_rmse(op[0], frames.poses[0], align=False))
+        assert ates["constant_velocity"] < 0.8 * ates["static"], ates
+
+    def test_step_prev_transform_replays_forward(self):
+        # The stateless step API with an explicitly threaded prev_transform
+        # must reproduce the scanned constant-velocity forward exactly.
+        from gradslam_tpu.geometry import (
+            compose_transformations,
+            inverse_transformation,
+        )
+
+        frames = self._clip(speed=8.0, L=5)
+        L, H, W = 5, 32, 48
+        slam = ICPSLAM(
+            odom="icp", dsratio=2, numiters=3,
+            motion_model="constant_velocity",
+        )
+        pc_fwd, poses_fwd = slam(frames)
+
+        pc = slam.empty_map(1, L * H * W)
+        pc, pose = slam.step(pc, frames[:, 0])  # bootstrap
+        poses = [pose[:, 0]]
+        delta = jnp.broadcast_to(jnp.eye(4, dtype=pose.dtype), (1, 4, 4))
+        for k in range(1, L):
+            prev = frames[:, k - 1].with_poses(poses[-1][:, None])
+            live = frames[:, k]
+            pc, pose = slam.step(pc, live, prev, prev_transform=delta)
+            delta = compose_transformations(
+                pose[:, 0], inverse_transformation(poses[-1])
+            )
+            poses.append(pose[:, 0])
+        np.testing.assert_allclose(
+            np.asarray(jnp.stack(poses, axis=1)), np.asarray(poses_fwd),
+            atol=1e-5,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(pc.num_points), np.asarray(pc_fwd.num_points)
+        )
