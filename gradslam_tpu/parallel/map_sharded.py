@@ -46,7 +46,10 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..geometry.geometryutils import compose_transformations
+from ..geometry.geometryutils import (
+    compose_transformations,
+    inverse_transformation,
+)
 from ..odometry.icputils import (
     point_to_plane_ICP,
     point_to_plane_gradICP,
@@ -193,6 +196,8 @@ class MapShardedPointFusion:
         icp_capacity: per-shard active-window size for the ICP target
             (default: the single-device window ``2*ceil(H/ds)*ceil(W/ds)`` —
             sized so even a maximally imbalanced shard fits its actives).
+        motion_model: ``'static'`` (default) or ``'constant_velocity'`` —
+            same semantics as :class:`gradslam_tpu.ICPSLAM`.
         dist_th / angle_th / sigma and the solver parameters match
             :class:`gradslam_tpu.PointFusion` defaults.
     """
@@ -214,6 +219,7 @@ class MapShardedPointFusion:
         B2: float = 1.0,
         nu: float = 200.0,
         lookahead_assoc: str = "fresh",
+        motion_model: str = "static",
         robust_loss: Optional[str] = None,
         robust_scale: float = 0.05,
         icp_capacity: Optional[int] = None,
@@ -247,6 +253,12 @@ class MapShardedPointFusion:
         self.B2 = B2
         self.nu = nu
         self.lookahead_assoc = lookahead_assoc
+        if motion_model not in ("static", "constant_velocity"):
+            raise ValueError(
+                f"Unknown motion_model: {motion_model!r}. "
+                "Expected 'static' or 'constant_velocity'."
+            )
+        self.motion_model = motion_model
         validate_robust(robust_loss, robust_scale)
         self.robust_loss = robust_loss
         self.robust_scale = robust_scale
@@ -533,16 +545,34 @@ class MapShardedPointFusion:
                     (lv[1:], ln[1:], fc[1:], fa[1:], fvalid[1:], poses_in[1:]))
                 poses_out = poses_in
             else:
+                cv = self.motion_model == "constant_velocity"
+
                 def body(carry, frame):
-                    st, prev_pose = carry
+                    st, prev_pose, prev_delta = carry
                     v, n, c, a, vd, s_loc, s_valid = frame
-                    pose = localize(st, prev_pose, s_loc, s_valid)
+                    # constant-velocity prior (see ICPSLAM.motion_model):
+                    # solve from — and project the association window at —
+                    # the predicted camera
+                    pred = (
+                        compose_transformations(prev_delta, prev_pose)
+                        if cv else prev_pose
+                    )
+                    pose = localize(st, pred, s_loc, s_valid)
                     gv, gn = globalize(pose, v, n, vd)
                     st = fuse(st, pose, gv, gn, c, a, vd)
-                    return (st, pose), pose
+                    delta = (
+                        compose_transformations(
+                            pose, inverse_transformation(prev_pose)
+                        )
+                        if cv else prev_delta
+                    )
+                    return (st, pose, delta), pose
 
-                (state, _), rest = jax.lax.scan(
-                    body, (state, pose0),
+                delta0 = jnp.broadcast_to(
+                    jnp.eye(4, dtype=pose0.dtype), pose0.shape
+                )
+                (state, _, _), rest = jax.lax.scan(
+                    body, (state, pose0, delta0),
                     (lv[1:], ln[1:], fc[1:], fa[1:], fvalid[1:],
                      tuple(x[1:] for x in sl), tuple(x[1:] for x in sv)))
                 poses_out = jnp.concatenate([pose0[None], rest], axis=0)

@@ -126,6 +126,32 @@ class TestMapShardedFusion:
         )
         assert int(np.asarray(smap.num_points).sum()) > 0
 
+    def test_tracked_cv_matches_single_device(self, mesh):
+        """Constant-velocity motion model in the sharded pipeline: the
+        predicted-pose warm start / association window must reproduce the
+        single-device trajectory, and the option must be validated."""
+        B, L, H, W = 1, 3, 16, 24
+        frames = synthetic_frames(B, L=L, H=H, W=W)
+        cap = 8 * 256
+
+        single = PointFusion(odom="gradicp", dsratio=2, numiters=6,
+                             map_capacity=cap,
+                             motion_model="constant_velocity")
+        _, poses_s = single(frames)
+
+        sharded = MapShardedPointFusion(
+            map_capacity=cap, mesh=mesh, odom="gradicp", dsratio=2,
+            numiters=6, motion_model="constant_velocity",
+        )
+        _, poses_m = sharded(frames)
+
+        np.testing.assert_allclose(
+            np.asarray(poses_m), np.asarray(poses_s), atol=1e-4
+        )
+        with pytest.raises(ValueError, match="motion_model"):
+            MapShardedPointFusion(map_capacity=cap, mesh=mesh,
+                                  motion_model="kalman")
+
     @pytest.mark.slow
     def test_tracked_pyramid_matches_single_device(self, mesh):
         """Coarse-to-fine odometry on the sharded path: per-level windows
