@@ -127,11 +127,20 @@ def main():
     if start > 0:
         prev = frame(start - 1, traj[-1][None, None])
     # constant-velocity prior: the previous step's relative transform,
-    # threaded through the stateless step API (resume restarts from a
-    # zero-motion prior — the checkpoint stores poses, and the first resumed
-    # step re-derives nothing; one frame of warm-up is lost, not accuracy)
+    # threaded through the stateless step API
     cv = args.motion_model == "constant_velocity"
     prev_transform = None
+    if cv and len(traj) >= 2:
+        # resumed run: re-derive the prior from the checkpointed trajectory
+        # so the first resumed step matches an uninterrupted run
+        from gradslam_tpu.geometry import (
+            compose_transformations,
+            inverse_transformation,
+        )
+
+        prev_transform = compose_transformations(
+            traj[-1][None], inverse_transformation(traj[-2][None])
+        )
 
     for s in range(start, L):
         if args.odometry == "gt" or prev is None:

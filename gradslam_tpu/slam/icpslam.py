@@ -274,6 +274,17 @@ class ICPSLAM:
             raise ValueError(
                 "`live_frame` must have poses when `prev_frame` is None or `odom='gt'`."
             )
+        if prev_transform is not None:
+            prev_transform = jnp.asarray(prev_transform)
+            B = live_frame.rgb_image.shape[0]
+            if prev_transform.shape != (B, 4, 4):
+                # the natural mistake — passing the (B, 1, 4, 4) pose step
+                # returns — would otherwise broadcast into rank-5 poses and
+                # die far downstream
+                raise ValueError(
+                    f"prev_transform must have shape (B, 4, 4) = ({B}, 4, 4)."
+                    f" Got {prev_transform.shape}."
+                )
         live_frame = live_frame.to_channels_last()
         prev_frame = None if prev_frame is None else prev_frame.to_channels_last()
         if prev_frame is None or self.odom == "gt":

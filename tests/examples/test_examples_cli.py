@@ -82,16 +82,25 @@ class TestOnlineSlamCLI:
     @pytest.mark.slow
     def test_constant_velocity_tracked_stream(self, fake_tum, tmp_path):
         # tracked odometry with the constant-velocity prior threaded through
-        # the stateless step API (--motion-model constant_velocity)
+        # the stateless step API (--motion-model constant_velocity),
+        # including resume (the prior is re-derived from the checkpointed
+        # trajectory, review r2)
         out = str(tmp_path / "cv")
-        r = run_example(
-            "online_slam.py", "--dataset_path", fake_tum,
-            "--odometry", "icp", "--motion-model", "constant_velocity",
-            "--seqlen", "3", "--height", "24", "--width", "32",
+        common = [
+            "--dataset_path", fake_tum, "--odometry", "icp",
+            "--motion-model", "constant_velocity",
+            "--height", "24", "--width", "32",
             "--map_capacity", "4000", "--out", out,
+        ]
+        r = run_example(
+            "online_slam.py", *common, "--seqlen", "3",
+            "--checkpoint-every", "1",
         )
         assert r.returncode == 0, r.stderr[-2000:]
         assert "frame 2:" in r.stdout
+        r = run_example("online_slam.py", *common, "--seqlen", "4", "--resume")
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "resumed from" in r.stdout and "frame 3:" in r.stdout
         assert os.path.exists(os.path.join(out, "trajectory.txt"))
 
     @pytest.mark.slow

@@ -327,3 +327,18 @@ class TestDatautils:
     def test_pointquaternion_to_homogeneous(self):
         with pytest.raises(ValueError):
             datautils.pointquaternion_to_homogeneous(np.zeros(6))
+
+
+class TestMotionModelValidation:
+    def test_step_rejects_wrong_prev_transform_shape(self, synthetic_clip):
+        # the natural mistake — passing the (B, 1, 4, 4) pose step returns —
+        # must raise at the boundary, not broadcast into rank-5 poses
+        frames = synthetic_clip(B=1, L=2, H=16, W=24)
+        slam = ICPSLAM(odom="icp", dsratio=2, numiters=2)
+        pc = slam.empty_map(1, 2 * 16 * 24)
+        pc, pose = slam.step(pc, frames[:, 0])
+        prev = frames[:, 0].with_poses(pose)
+        with pytest.raises(ValueError, match="prev_transform"):
+            slam.step(pc, frames[:, 1], prev, prev_transform=pose)  # (B,1,4,4)
+        # correct shape passes
+        slam.step(pc, frames[:, 1], prev, prev_transform=pose[:, 0])
