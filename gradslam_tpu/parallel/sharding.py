@@ -103,11 +103,18 @@ class DataParallelSLAM:
         frames = shard_frames(frames, self.mesh, self.axis_name)
         return self.slam(frames)
 
-    def step(self, pointclouds, live_frame, prev_frame=None):
+    def step(self, pointclouds, live_frame, prev_frame=None, prev_transform=None):
         """Single online SLAM step with every batch tensor sharded over
-        the mesh's data axis (same contract as ``ICPSLAM.step``)."""
+        the mesh's data axis (same contract as ``ICPSLAM.step``, including
+        the optional constant-velocity ``prev_transform`` prior — batched
+        over the same data axis)."""
         pointclouds = shard_pointclouds(pointclouds, self.mesh, self.axis_name)
         live_frame = shard_frames(live_frame, self.mesh, self.axis_name)
         if prev_frame is not None:
             prev_frame = shard_frames(prev_frame, self.mesh, self.axis_name)
-        return self.slam.step(pointclouds, live_frame, prev_frame)
+        if prev_transform is not None:
+            prev_transform = jax.device_put(
+                jnp.asarray(prev_transform),
+                NamedSharding(self.mesh, P(self.axis_name)),
+            )
+        return self.slam.step(pointclouds, live_frame, prev_frame, prev_transform)

@@ -104,3 +104,20 @@ class TestTrackedSharded:
         assert poses.shape == (8, 2, 4, 4)
         assert np.all(np.isfinite(np.asarray(poses)))
         assert np.all(np.isfinite(np.asarray(pc.points)))
+
+    def test_step_with_cv_prior_shards(self, mesh):
+        """step() passes the constant-velocity prev_transform through,
+        sharded over the data axis (review follow-up to motion_model)."""
+        from gradslam_tpu import ICPSLAM
+
+        frames = synthetic_frames(8, L=2, H=16, W=24)
+        dp = DataParallelSLAM(
+            ICPSLAM(odom="icp", dsratio=2, numiters=2), mesh
+        )
+        pc = dp.slam.empty_map(8, 2 * 16 * 24)
+        pc, pose = dp.step(pc, frames[:, 0])
+        prev = frames[:, 0].with_poses(pose)
+        eye = jnp.broadcast_to(jnp.eye(4, dtype=pose.dtype), (8, 4, 4))
+        pc, pose2 = dp.step(pc, frames[:, 1], prev, prev_transform=eye)
+        assert pose2.shape == (8, 1, 4, 4)
+        assert np.all(np.isfinite(np.asarray(pose2)))
