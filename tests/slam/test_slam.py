@@ -741,3 +741,23 @@ class TestMotionModel:
         np.testing.assert_array_equal(
             np.asarray(pc.num_points), np.asarray(pc_fwd.num_points)
         )
+
+    def test_cv_is_differentiable(self):
+        # the delta carry (compose + inverse_transformation) must not break
+        # end-to-end gradients through the tracked pipeline
+        from gradslam_tpu.datasets import synthetic_sequence
+
+        rgb, depth, K, poses = synthetic_sequence(1, 3, 16, 24, seed=0, speed=4.0)
+        slam = PointFusion(odom="gradicp", dsratio=2, numiters=2,
+                           motion_model="constant_velocity", use_jit=False)
+
+        def loss(d):
+            fr = RGBDImages(
+                jnp.asarray(rgb), d, jnp.asarray(K), jnp.asarray(poses)
+            )
+            _, traj = slam(fr)
+            return jnp.sum(traj[:, -1, :3, 3] ** 2)
+
+        g = jax.grad(loss)(jnp.asarray(depth))
+        assert np.isfinite(np.asarray(g)).all()
+        assert float(jnp.abs(g).max()) > 0
