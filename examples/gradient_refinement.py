@@ -1,0 +1,200 @@
+r"""Gradient-based sensor refinement THROUGH the SLAM pipeline.
+
+This is the demo the reference never shipped: gradSLAM's entire reason to
+exist (arXiv 1910.10672, README.md:21 "gradients flow from the outputs back
+to the inputs") is that the fused map and the recovered trajectory are
+differentiable functions of the raw sensor inputs — so upstream quantities
+(a miscalibrated depth scale, a wrong focal length) can be *recovered by
+gradient descent through the full pipeline*. The reference tests
+differentiability of individual ops but has no end-to-end optimization
+example; here the whole ``PointFusion`` run sits inside
+``jax.value_and_grad`` and ``optax.adam`` fixes the sensor model.
+
+Setup: a synthetic RGB-D clip whose depths have been corrupted by a global
+scale factor (the classic Kinect ``/5000`` calibration error) and whose
+intrinsics use a wrong focal length. Correction parameters (log-scale
+multipliers, initialized at identity) are applied to the corrupted inputs,
+the corrected frames run through PointFusion, and a loss on the pipeline
+OUTPUT is minimized:
+
+- ``--loss chamfer`` (default): chamfer distance between the fused map and a
+  reference map (e.g. from a survey-grade scan). Works with any odometry.
+- ``--loss ate``: trajectory error against reference poses — with tracked
+  odometry (``--odometry gradicp``) the gradients flow through every ICP
+  solve (the differentiable gradLM solver is what makes this possible).
+
+Example (CPU, a few seconds):
+
+    python examples/gradient_refinement.py --steps 40
+    python examples/gradient_refinement.py --loss ate --odometry gradicp \
+        --steps 25 --lr 0.03
+
+Prints the loss trajectory and the recovered depth-scale / focal corrections
+(ground truth: the inverse of the injected corruptions).
+"""
+
+import argparse
+
+parser = argparse.ArgumentParser(
+    description="Recover sensor miscalibration by gradient descent through SLAM."
+)
+parser.add_argument("--height", type=int, default=32)
+parser.add_argument("--width", type=int, default=40)
+parser.add_argument("--seqlen", type=int, default=4)
+parser.add_argument("--steps", type=int, default=40, help="Adam steps.")
+parser.add_argument("--lr", type=float, default=0.05)
+parser.add_argument(
+    "--depth-scale-error", type=float, default=1.08,
+    help="Injected multiplicative depth corruption (1.0 = none).",
+)
+parser.add_argument(
+    "--focal-error", type=float, default=0.94,
+    help="Injected multiplicative focal-length corruption (1.0 = none).",
+)
+parser.add_argument(
+    "--loss", type=str, default="chamfer", choices=["chamfer", "ate"],
+    help="Optimize map quality (chamfer vs reference map) or trajectory "
+    "error (ate vs reference poses; needs tracked odometry).",
+)
+parser.add_argument(
+    "--odometry", type=str, default="gt", choices=["gt", "icp", "gradicp"],
+)
+parser.add_argument("--cpu", action="store_true", help="Force the CPU backend.")
+
+
+def refine(
+    H=32,
+    W=40,
+    L=4,
+    steps=40,
+    lr=0.05,
+    depth_scale_error=1.08,
+    focal_error=0.94,
+    loss="chamfer",
+    odometry="gt",
+    verbose=True,
+):
+    """Run the refinement; returns (losses, recovered_depth_scale,
+    recovered_focal_scale) where "recovered" means correction x corruption —
+    1.0 is perfect recovery."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from gradslam_tpu import PointFusion, RGBDImages
+    from gradslam_tpu.datasets import synthetic_sequence
+    from gradslam_tpu.metrics import chamfer_distance
+
+    rgb, depths, intrinsics, poses = synthetic_sequence(1, L, H, W, seed=3)
+    rgb = jnp.asarray(rgb)
+    depths = jnp.asarray(depths)
+    intrinsics = jnp.asarray(intrinsics)
+    poses = jnp.asarray(poses)
+
+    # gradicp with few iters tracks the gentle synthetic motion well; keep
+    # the solve short so the demo's backward pass stays cheap.
+    slam = PointFusion(
+        odom=odometry, dsratio=1, numiters=3, use_jit=False,
+        map_capacity=L * H * W,
+    )
+
+    # The reference outputs: a clean map + trajectory from the TRUE sensor
+    # model (in practice: a survey scan / a calibration rig's trajectory).
+    ref_map, ref_poses = slam(RGBDImages(rgb, depths, intrinsics, poses))
+    ref_pts = jax.lax.stop_gradient(ref_map.points)
+    ref_mask = jax.lax.stop_gradient(ref_map.nonpad_mask)
+    ref_traj = jax.lax.stop_gradient(ref_poses[..., :3, 3])
+
+    # Corrupt the sensor model: depths scaled, focal length wrong.
+    depths_obs = depths * depth_scale_error
+    K_obs = intrinsics.at[..., 0, 0].mul(focal_error).at[..., 1, 1].mul(focal_error)
+
+    def apply_correction(params):
+        depth = depths_obs * jnp.exp(params["log_depth_scale"])
+        f = jnp.exp(params["log_focal_scale"])
+        K = K_obs.at[..., 0, 0].mul(f).at[..., 1, 1].mul(f)
+        return RGBDImages(rgb, depth, K, poses)
+
+    def loss_fn(params):
+        pc, out_poses = slam(apply_correction(params))
+        if loss == "chamfer":
+            # squared=True: the euclidean chamfer's sqrt has an infinite
+            # gradient at 0, which is exactly where a converging calibration
+            # drives every distance — squared chamfer is smooth there.
+            return jnp.mean(
+                chamfer_distance(
+                    pc.points, ref_pts, mask_a=pc.nonpad_mask, mask_b=ref_mask,
+                    squared=True,
+                )
+            )
+        # ATE-style loss, differentiable and alignment-free: mean squared
+        # position error against the reference trajectory.
+        return jnp.mean(jnp.sum((out_poses[..., :3, 3] - ref_traj) ** 2, -1))
+
+    params = {
+        "log_depth_scale": jnp.zeros(()),
+        "log_focal_scale": jnp.zeros(()),
+    }
+    # Decaying step size: the loss surface is steep far from the true
+    # calibration and nearly flat at it, so a fixed Adam lr oscillates once
+    # close. Three half-life decays over the run settle it.
+    opt = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adam(optax.exponential_decay(lr, max(1, steps // 3), 0.5)),
+    )
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def train_step(params, opt_state):
+        value, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, value
+
+    losses = []
+    for i in range(steps):
+        params, opt_state, value = train_step(params, opt_state)
+        losses.append(float(value))
+        if verbose and (i % max(1, steps // 10) == 0 or i == steps - 1):
+            print(
+                f"step {i:3d}  loss {losses[-1]:.3e}  "
+                f"depth-scale corr {float(jnp.exp(params['log_depth_scale'])):.4f}  "
+                f"focal corr {float(jnp.exp(params['log_focal_scale'])):.4f}"
+            )
+
+    rec_depth = float(jnp.exp(params["log_depth_scale"])) * depth_scale_error
+    rec_focal = float(jnp.exp(params["log_focal_scale"])) * focal_error
+    if verbose:
+        print(
+            f"\nrecovered sensor model (1.0 = perfect): "
+            f"depth scale {rec_depth:.4f}, focal {rec_focal:.4f}"
+        )
+        print(f"loss: {losses[0]:.3e} -> {losses[-1]:.3e}")
+    return losses, rec_depth, rec_focal
+
+
+def main():
+    args = parser.parse_args()
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        # The train step differentiates the whole pipeline — a large XLA
+        # program. Cache the compilation across runs (as bench.py does).
+        jax.config.update("jax_compilation_cache_dir", "/root/.jaxcache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    refine(
+        H=args.height,
+        W=args.width,
+        L=args.seqlen,
+        steps=args.steps,
+        lr=args.lr,
+        depth_scale_error=args.depth_scale_error,
+        focal_error=args.focal_error,
+        loss=args.loss,
+        odometry=args.odometry,
+    )
+
+
+if __name__ == "__main__":
+    main()
