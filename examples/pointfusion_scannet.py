@@ -23,8 +23,16 @@ parser.add_argument("--start", type=int, default=0)
 parser.add_argument("--end", type=int, default=4)
 parser.add_argument("--height", type=int, default=240)
 parser.add_argument("--width", type=int, default=320)
+parser.add_argument(
+    "--fuse-labels", action="store_true",
+    help="Fuse the scannet20 semantic labels into the map (one-hot feature "
+    "channels, confidence-weighted — the reference loads labels but drops "
+    "them). Prints the fused per-class point counts.",
+)
 parser.add_argument("--visualize", action="store_true")
 args = parser.parse_args()
+
+NUM_CLASSES = 21  # scannet20 + unlabeled
 
 
 def main():
@@ -34,16 +42,40 @@ def main():
     dataset = Scannet(
         args.dataset_path, args.seqmeta_path, scenes,
         start=args.start, end=args.end,
-        height=args.height, width=args.width, return_labels=False,
+        height=args.height, width=args.width,
+        return_labels=args.fuse_labels,
     )
-    colors, depths, intrinsics, poses, *_ = dataset[0]
+    sample = dataset[0]
+    colors, depths, intrinsics, poses = sample[:4]
+    feature_image = None
+    if args.fuse_labels:
+        from gradslam_tpu.datasets.datautils import labels_to_onehot
+
+        labels = np.asarray(sample[-1])  # (L, H, W, 1) scannet20 ids
+        feature_image = jnp.asarray(
+            labels_to_onehot(labels.squeeze(-1), NUM_CLASSES)
+        )[None]
     frames = RGBDImages(
         jnp.asarray(colors)[None], jnp.asarray(depths)[None],
         jnp.asarray(intrinsics)[None, None], jnp.asarray(poses)[None],
+        feature_image=feature_image,
     )
-    slam = PointFusion(odom=args.odometry)
+    slam = PointFusion(
+        odom=args.odometry,
+        feature_channels=NUM_CLASSES if args.fuse_labels else 0,
+    )
     pointclouds, recovered_poses = slam(frames)
     print("map points:", np.asarray(pointclouds.num_points))
+    if args.fuse_labels:
+        n = int(pointclouds.num_points[0])
+        fused = np.asarray(pointclouds.features[0, :n, 1:])  # skip ccount
+        map_labels = fused.argmax(-1)
+        counts = np.bincount(map_labels, minlength=NUM_CLASSES)
+        names = list(dataset.color_encoding.keys())
+        print("fused map class counts:")
+        for c in np.argsort(-counts):
+            if counts[c]:
+                print(f"  {names[c]:>14s}: {counts[c]}")
 
     if args.visualize:
         import open3d as o3d

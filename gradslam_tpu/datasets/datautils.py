@@ -19,6 +19,7 @@ __all__ = [
     "pointquaternion_to_homogeneous",
     "poses_to_transforms",
     "create_label_image",
+    "labels_to_onehot",
 ]
 
 
@@ -116,6 +117,25 @@ def poses_to_transforms(
         else:
             transforms.append(np.linalg.inv(seq[i - 1]).astype(pose.dtype) @ pose)
     return np.stack(transforms) if as_array else transforms
+
+
+def labels_to_onehot(labels: np.ndarray, num_classes: int) -> np.ndarray:
+    r"""One-hot encode an integer label image to a float32 feature plane
+    ``(*, H, W) -> (*, H, W, num_classes)`` — the input to semantic map
+    fusion (attach as ``RGBDImages.feature_image`` and run
+    ``PointFusion(feature_channels=num_classes)``). Out-of-range labels
+    encode to all-zero rows (fused as "no evidence"). No reference
+    equivalent (the reference loads ScanNet labels but never fuses them)."""
+    labels = np.asarray(labels)
+    if not np.issubdtype(labels.dtype, np.integer):
+        raise TypeError(f"labels must be integers. Got dtype {labels.dtype}.")
+    if num_classes < 1:
+        raise ValueError(f"num_classes must be >= 1. Got {num_classes}.")
+    onehot = np.zeros(labels.shape + (num_classes,), dtype=np.float32)
+    valid = (labels >= 0) & (labels < num_classes)
+    idx = np.nonzero(valid)
+    onehot[idx + (labels[valid],)] = 1.0
+    return onehot
 
 
 def create_label_image(prediction: np.ndarray, color_palette: dict) -> np.ndarray:

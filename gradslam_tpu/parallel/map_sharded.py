@@ -284,6 +284,15 @@ class MapShardedPointFusion:
         otherwise)."""
         if self.odom == "gt" and frames.poses is None:
             raise ValueError("MapShardedPointFusion(odom='gt') requires poses.")
+        if frames.feature_image is not None:
+            # Loud instead of a silent drop: the sharded map row is the fixed
+            # [ccount(, packed_color)] layout; user feature channels are a
+            # single-device PointFusion(feature_channels=F) capability today.
+            raise ValueError(
+                "MapShardedPointFusion does not fuse RGBDImages.feature_image "
+                "yet — use PointFusion(feature_channels=...) on a single "
+                "device, or drop the feature plane."
+            )
         # channels-first frames would reshape into scrambled (HW, C) rows
         return self._forward(frames.to_channels_last())
 

@@ -468,13 +468,33 @@ def update_map_fusion(
     # whole map row is then exactly 8 wide and the merge needs no separate
     # color gathers/scatters.
     quantized = pointclouds.colors is None
-    if quantized:
-        if pointclouds.features is None or pointclouds.features.shape[-1] != 2:
+    if quantized and pointclouds.features.shape[-1] < 2:
+        raise ValueError(
+            "update_map_fusion needs either float colors or the "
+            "quantized layout (colors=None, features (B, CAP, 2+) = "
+            "[ccount, packed_color, *user])."
+        )
+    # User feature channels (PointFusion(feature_channels=F)): everything in
+    # the map's feature buffer past the bookkeeping channels ([ccount] or
+    # [ccount, packed_color]) is fused like colors — confidence-weighted
+    # running average against the frame's feature_image plane.
+    base = 2 if quantized else 1
+    n_user = pointclouds.features.shape[-1] - base
+    if n_user > 0:
+        if rgbdimages.feature_image is None:
             raise ValueError(
-                "update_map_fusion needs either float colors or the "
-                "quantized layout (colors=None, features (B, CAP, 2) = "
-                "[ccount, packed_color])."
+                f"The map carries {n_user} user feature channel(s) but the "
+                "live frame has no feature_image — attach RGBDImages."
+                "feature_image (B, L, H, W, F) to fuse features."
             )
+        if rgbdimages.feature_image.shape[-1] != n_user:
+            raise ValueError(
+                f"feature_image has {rgbdimages.feature_image.shape[-1]} "
+                f"channels but the map carries {n_user} user feature "
+                "channel(s) — widths must match."
+            )
+    base_feats = pointclouds.features[..., :base]
+    user_feats = pointclouds.features[..., base:]  # (B, CAP, n_user)
     if association == "auto":
         window = min(active_capacity if active_capacity is not None else 2 * HW, cap)
         association = "sort_full" if cap <= max(3 * HW, window) else "windowed"
@@ -498,10 +518,11 @@ def update_map_fusion(
     # bandwidth). In the quantized layout the features channel pair is
     # [ccount, packed_color] and fills the row with no pad.
     map_geom = jnp.concatenate(
-        [pointclouds.points, pointclouds.normals, pointclouds.features]
-        + ([] if quantized else [jnp.zeros_like(pointclouds.features)]),
+        [pointclouds.points, pointclouds.normals, base_feats]
+        + ([] if quantized else [jnp.zeros_like(base_feats)]),
         axis=-1,
-    )  # (B, CAP, 8)
+    )  # (B, CAP, 8) — user feature channels ride a separate plane so the
+    # hot row stays within the 32-byte row-gather fast path
 
     vertex_flat = rgbdimages.global_vertex_map.reshape(B, HW, 3)
     normal_flat = rgbdimages.global_normal_map.reshape(B, HW, 3)
@@ -611,6 +632,9 @@ def update_map_fusion(
     safe_row = jnp.minimum(winner_row, cap - 1)
 
     color_flat = rgbdimages.rgb_image.reshape(B, HW, 3)
+    ufeat_flat = (
+        rgbdimages.feature_image.reshape(B, HW, n_user) if n_user > 0 else None
+    )
     alpha_image = get_alpha(rgbdimages.vertex_map, sigma=sigma, dim=4, keepdim=True)
     alpha_flat = alpha_image.reshape(B, HW, 1)
 
@@ -631,6 +655,12 @@ def update_map_fusion(
     out_pts = (cc_old * m_pts + alpha_flat * vertex_flat) * inv_cc
     out_nrm = (cc_old * m_nrm + alpha_flat * normal_flat) * inv_cc
     out_col = (cc_old * m_col + alpha_flat * color_flat) * inv_cc
+    out_uf = None
+    if n_user > 0:
+        # User features fuse exactly like colors (one extra gather; the
+        # 8-wide hot row is untouched).
+        m_uf = jnp.take_along_axis(user_feats, safe_row[..., None], axis=1)
+        out_uf = (cc_old * m_uf + alpha_flat * ufeat_flat) * inv_cc
 
     # destination row per pixel: winner row for merges, fresh tail slot for
     # appends, unique OOB parking otherwise (keeps the fast scatter path)
@@ -691,7 +721,12 @@ def update_map_fusion(
         g = jnp.take_along_axis(pix_geom, safe_src[..., None], axis=1)
         new_points = jnp.where(t, g[..., :3], pointclouds.points)
         new_normals = jnp.where(t, g[..., 3:6], pointclouds.normals)
-        new_features = jnp.where(t, g[..., 6:6 + fd], pointclouds.features)
+        new_features = jnp.where(t, g[..., 6:6 + fd], base_feats)
+        if n_user > 0:
+            guf = jnp.take_along_axis(out_uf, safe_src[..., None], axis=1)
+            new_features = jnp.concatenate(
+                [new_features, jnp.where(t, guf, user_feats)], axis=-1
+            )
         new_colors = None
         if not quantized:
             gc = jnp.take_along_axis(out_col, safe_src[..., None], axis=1)
@@ -709,7 +744,11 @@ def update_map_fusion(
 
         new_points = scatter_map(pointclouds.points, out_pts)
         new_normals = scatter_map(pointclouds.normals, out_nrm)
-        new_features = scatter_map(pointclouds.features, feat_pix)
+        new_features = scatter_map(
+            pointclouds.features,
+            feat_pix if n_user == 0
+            else jnp.concatenate([feat_pix, out_uf], axis=-1),
+        )
         new_colors = (
             None if quantized else scatter_map(pointclouds.colors, out_col)
         )
@@ -752,6 +791,27 @@ def update_map_aggregate(
         sig = 0.6 if sigma is None else sigma
         alpha = get_alpha(rgbdimages.vertex_map, sigma=sig, dim=4, keepdim=True)
         features = alpha.reshape(B, H * W, 1)
+        n_user = pointclouds.features.shape[-1] - 1
+        if n_user > 0:
+            # User feature channels after the confidence channel (the
+            # aggregate-map analogue of PointFusion(feature_channels=F)).
+            if (
+                rgbdimages.feature_image is None
+                or rgbdimages.feature_image.shape[-1] != n_user
+            ):
+                got = (
+                    "no feature_image" if rgbdimages.feature_image is None
+                    else f"{rgbdimages.feature_image.shape[-1]} channel(s)"
+                )
+                raise ValueError(
+                    f"The map carries {n_user} user feature channel(s) but "
+                    f"the live frame has {got} — attach a matching "
+                    "RGBDImages.feature_image (B, L, H, W, F)."
+                )
+            features = jnp.concatenate(
+                [features, rgbdimages.feature_image.reshape(B, H * W, n_user)],
+                axis=-1,
+            )
     return pointclouds.append_masked(
         vertex_flat,
         valid,
@@ -845,16 +905,17 @@ def voxel_downsample(
         quantized_colors = (
             pointclouds.colors is None
             and pointclouds.features is not None
-            and pointclouds.features.shape[-1] == 2
+            and pointclouds.features.shape[-1] >= 2
         )
     elif quantized_colors and (
         pointclouds.colors is not None
         or pointclouds.features is None
-        or pointclouds.features.shape[-1] != 2
+        or pointclouds.features.shape[-1] < 2
     ):
         raise ValueError(
             "quantized_colors=True expects the quantized map layout "
-            "(colors=None, features (B, CAP, 2) = [ccount, packed_color])."
+            "(colors=None, features (B, CAP, 2+) = [ccount, packed_color, "
+            "*user])."
         )
     pts = pointclouds.points  # (B, CAP, 3)
     B, CAP, _ = pts.shape
@@ -926,7 +987,11 @@ def voxel_downsample(
             # every multi-point voxel.
             cc_mean = reduced(pointclouds.features[..., 0:1])
             col_mean = reduced(unpack_colors(pointclouds.features[..., 1:2]))
-            new_feat = jnp.concatenate([cc_mean, pack_colors(col_mean)], axis=-1)
+            parts = [cc_mean, pack_colors(col_mean)]
+            if pointclouds.features.shape[-1] > 2:
+                # user feature channels past the packed color average plainly
+                parts.append(reduced(pointclouds.features[..., 2:]))
+            new_feat = jnp.concatenate(parts, axis=-1)
         else:
             new_feat = reduced(pointclouds.features)
     else:  # 'first': keep the lowest-index point of each voxel unchanged

@@ -233,6 +233,21 @@ class ICPSLAM:
             )
         if self.odom == "gt" and frames.poses is None:
             raise ValueError("`frames` must have poses when `odom='gt'`.")
+        want = getattr(self, "feature_channels", 0)
+        got = frames.feature_channels
+        if want != got:
+            # Loud mismatch at the API boundary: a feature plane the map
+            # cannot hold would otherwise be dropped silently (or fusion
+            # would die mid-trace on a width mismatch).
+            hint = (
+                "construct the pipeline with PointFusion(feature_channels="
+                f"{got})" if got else "attach RGBDImages.feature_image with "
+                f"{want} channel(s)"
+            )
+            raise ValueError(
+                f"frames carry {got} feature channel(s) but this pipeline "
+                f"fuses {want} — {hint}."
+            )
         return self._forward(frames.to_channels_last())
 
     def step(
@@ -285,6 +300,13 @@ class ICPSLAM:
                     f"prev_transform must have shape (B, 4, 4) = ({B}, 4, 4)."
                     f" Got {prev_transform.shape}."
                 )
+        want = getattr(self, "feature_channels", 0)
+        got = live_frame.feature_channels
+        if want != got:
+            raise ValueError(
+                f"live_frame carries {got} feature channel(s) but this "
+                f"pipeline fuses {want} — see PointFusion(feature_channels=...)."
+            )
         live_frame = live_frame.to_channels_last()
         prev_frame = None if prev_frame is None else prev_frame.to_channels_last()
         if prev_frame is None or self.odom == "gt":
@@ -486,16 +508,21 @@ class ICPSLAM:
         map_pc = self._empty_map(B, schedule[0][1])
         intrinsics = frames.intrinsics
 
+        hf = frames.feature_image is not None
         if self.odom == "gt":
             # Pure mapping under ground-truth poses: scan appends each frame.
             rgb_l = jnp.moveaxis(frames.rgb_image, 1, 0)  # (L, B, H, W, 3)
             depth_l = jnp.moveaxis(frames.depth_image, 1, 0)
             poses_l = jnp.moveaxis(frames.poses, 1, 0)  # (L, B, 4, 4)
+            feat_l = (
+                jnp.moveaxis(frames.feature_image, 1, 0) if hf else None
+            )
 
             def body(map_pc, xs):
-                rgb, depth, pose, idx = xs
+                rgb, depth, pose, idx = xs[:4]
                 live = RGBDImages(
-                    rgb[:, None], depth[:, None], intrinsics, pose[:, None]
+                    rgb[:, None], depth[:, None], intrinsics, pose[:, None],
+                    feature_image=xs[4][:, None] if hf else None,
                 )
                 return self._maybe_prune(self._map(map_pc, live), idx), pose
 
@@ -514,7 +541,7 @@ class ICPSLAM:
                         depth_l[start:start + n],
                         poses_l[start:start + n],
                         frame_ids[start:start + n],
-                    ),
+                    ) + ((feat_l[start:start + n],) if hf else ()),
                 )
                 chunks.append(poses_out)
                 start += n
@@ -534,12 +561,15 @@ class ICPSLAM:
 
         rgb_l = jnp.moveaxis(frames.rgb_image[:, 1:], 1, 0)
         depth_l = jnp.moveaxis(frames.depth_image[:, 1:], 1, 0)
+        feat_l = (
+            jnp.moveaxis(frames.feature_image[:, 1:], 1, 0) if hf else None
+        )
 
         cv = self.motion_model == "constant_velocity"
 
         def body(carry, xs):
             map_pc, prev_pose, prev_delta = carry
-            rgb, depth, idx = xs
+            rgb, depth, idx = xs[:3]
             # _localize reads only poses/intrinsics/shape from its
             # prev_frame argument (the active-map projection camera), so the
             # live frame — carrying the predicted pose until odometry
@@ -551,7 +581,8 @@ class ICPSLAM:
                 if cv else prev_pose
             )
             live = RGBDImages(
-                rgb[:, None], depth[:, None], intrinsics, pred[:, None]
+                rgb[:, None], depth[:, None], intrinsics, pred[:, None],
+                feature_image=xs[3][:, None] if hf else None,
             )
             poses = self._localize(map_pc, live, live)  # (B, 1, 4, 4)
             live = live.with_poses(poses)
@@ -585,7 +616,7 @@ class ICPSLAM:
                     rgb_l[start:start + n_scan],
                     depth_l[start:start + n_scan],
                     frame_ids[start:start + n_scan],
-                ),
+                ) + ((feat_l[start:start + n_scan],) if hf else ()),
             )
             chunks.append(poses_seg)
             start += n_scan

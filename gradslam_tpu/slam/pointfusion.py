@@ -11,6 +11,8 @@ from __future__ import annotations
 import math
 from typing import Optional, Union
 
+import jax.numpy as jnp
+
 from ..structures.pointclouds import Pointclouds
 from ..structures.rgbdimages import RGBDImages
 from .fusionutils import unpack_colors, update_map_fusion
@@ -52,6 +54,7 @@ class PointFusion(ICPSLAM):
         association: str = "auto",
         merge: str = "auto",
         quantize_colors: bool = False,
+        feature_channels: int = 0,
         prune_every: int = 0,
         prune_min_confidence: float = 1.0,
         use_jit: bool = True,
@@ -119,26 +122,38 @@ class PointFusion(ICPSLAM):
         self.quantize_colors = bool(quantize_colors)
         if self.quantize_colors:
             self._map_has_colors = False
+        # Semantic / descriptor fusion (no reference equivalent): the map's
+        # feature buffer gains `feature_channels` user channels after the
+        # bookkeeping channels ([ccount] or [ccount, packed_color]). Frames
+        # must then carry RGBDImages.feature_image (B, L, H, W, F) — label
+        # one-hots/logits, learned descriptors, ... — fused with the same
+        # confidence-weighted running average as colors, and differentiable.
+        if not isinstance(feature_channels, int) or feature_channels < 0:
+            raise ValueError(
+                f"feature_channels must be a non-negative int. "
+                f"Got {feature_channels!r}."
+            )
+        self.feature_channels = feature_channels
 
     @property
     def _map_feature_dim(self):
-        return 2 if self.quantize_colors else 1
+        return (2 if self.quantize_colors else 1) + self.feature_channels
 
     @staticmethod
     def decode_map(pointclouds: Pointclouds) -> Pointclouds:
         """Materialize float colors from a quantized-layout map
-        (``quantize_colors=True``): features ``[ccount, packed_color]``
-        become ``colors (B, CAP, 3)`` + features ``[ccount]``. No-op for
-        float-color maps."""
+        (``quantize_colors=True``): features ``[ccount, packed_color,
+        *user]`` become ``colors (B, CAP, 3)`` + features ``[ccount,
+        *user]``. No-op for float-color maps."""
         import dataclasses
 
         feats = pointclouds.features
-        if pointclouds.colors is not None or feats is None or feats.shape[-1] != 2:
+        if pointclouds.colors is not None or feats is None or feats.shape[-1] < 2:
             return pointclouds
         return dataclasses.replace(
             pointclouds,
             colors=unpack_colors(feats[..., 1:2]),
-            features=feats[..., :1],
+            features=jnp.concatenate([feats[..., :1], feats[..., 2:]], axis=-1),
         )
 
     def _map(self, pointclouds: Pointclouds, live_frame: RGBDImages) -> Pointclouds:

@@ -44,6 +44,13 @@ class RGBDImages:
     depth_image: jnp.ndarray  # (B, L, H, W, 1) — or (B, L, 1, H, W)
     intrinsics: jnp.ndarray  # (B, 1, 4, 4)
     poses: Optional[jnp.ndarray] = None  # (B, L, 4, 4)
+    # Optional per-pixel feature plane (B, L, H, W, F) — semantic label
+    # one-hots/logits, learned descriptors, … Fused into the map's feature
+    # channels by PointFusion(feature_channels=F) (confidence-weighted
+    # average, like colors) and appended by ICPSLAM aggregate maps. No
+    # reference equivalent: the reference's ScanNet loader returns labels
+    # but its pipelines drop them.
+    feature_image: Optional[jnp.ndarray] = None
     # Static layout flag (reference rgbdimages.py:242-257). Channels-last is
     # the canonical TPU layout; channels-first instances exist only for
     # reference API parity — derived maps transparently convert.
@@ -56,7 +63,8 @@ class RGBDImages:
         # the host); numpy/jax inputs pass through untouched.
         from .structutils import coerce_torch
 
-        for name in ("rgb_image", "depth_image", "intrinsics", "poses"):
+        for name in ("rgb_image", "depth_image", "intrinsics", "poses",
+                     "feature_image"):
             val = getattr(self, name)
             coerced = coerce_torch(val)
             if coerced is not val:
@@ -94,18 +102,39 @@ class RGBDImages:
             raise ValueError(
                 f"poses must have shape (B, L, 4, 4). Got {self.poses.shape}."
             )
+        if self.feature_image is not None:
+            feat = self.feature_image
+            spatial_ok = (
+                feat.ndim == 5
+                and (
+                    feat.shape[:2] + feat.shape[3:5] == rgb.shape[:2] + rgb.shape[3:5]
+                    if self.channels_first
+                    else feat.shape[:4] == rgb.shape[:4]
+                )
+            )
+            if not spatial_ok:
+                flayout = (
+                    "(B, L, F, H, W)" if self.channels_first else "(B, L, H, W, F)"
+                )
+                raise ValueError(
+                    f"feature_image must have shape {flayout} matching rgb "
+                    f"{rgb.shape}. Got {feat.shape}."
+                )
 
     # ------------------------------------------------------------------ #
     # Construction helpers
     # ------------------------------------------------------------------ #
     @classmethod
-    def from_channels_first(cls, rgb_image, depth_image, intrinsics, poses=None):
+    def from_channels_first(cls, rgb_image, depth_image, intrinsics, poses=None,
+                            feature_image=None):
         """Accept the reference's channels-first layout ``(B, L, C, H, W)``,
         converting to the canonical channels-last storage."""
         rgb_image = jnp.moveaxis(jnp.asarray(rgb_image), 2, -1)
         depth_image = jnp.moveaxis(jnp.asarray(depth_image), 2, -1)
         return cls(rgb_image, depth_image, jnp.asarray(intrinsics),
-                   None if poses is None else jnp.asarray(poses))
+                   None if poses is None else jnp.asarray(poses),
+                   feature_image=None if feature_image is None
+                   else jnp.moveaxis(jnp.asarray(feature_image), 2, -1))
 
     # ------------------------------------------------------------------ #
     # Shape / layout
@@ -150,6 +179,18 @@ class RGBDImages:
         """True when poses are attached (reference rgbdimages.py:316)."""
         return self.poses is not None
 
+    @property
+    def has_features(self) -> bool:
+        """True when a per-pixel ``feature_image`` plane is attached."""
+        return self.feature_image is not None
+
+    @property
+    def feature_channels(self) -> int:
+        """Number of per-pixel feature channels (0 when none attached)."""
+        if self.feature_image is None:
+            return 0
+        return self.feature_image.shape[2 if self.channels_first else -1]
+
     # Layout conversions (reference rgbdimages.py:543-617). Pytrees are
     # immutable, so the ``_`` variants also return the converted object —
     # reference call sites ``frames = frames.to_channels_last()`` and
@@ -164,6 +205,8 @@ class RGBDImages:
             self,
             rgb_image=jnp.moveaxis(self.rgb_image, 2, -1),
             depth_image=jnp.moveaxis(self.depth_image, 2, -1),
+            feature_image=None if self.feature_image is None
+            else jnp.moveaxis(self.feature_image, 2, -1),
             channels_first=False,
         )
 
@@ -176,6 +219,8 @@ class RGBDImages:
             self,
             rgb_image=jnp.moveaxis(self.rgb_image, -1, 2),
             depth_image=jnp.moveaxis(self.depth_image, -1, 2),
+            feature_image=None if self.feature_image is None
+            else jnp.moveaxis(self.feature_image, -1, 2),
             channels_first=True,
         )
 
@@ -209,6 +254,8 @@ class RGBDImages:
             depth_image=self.depth_image[bidx, sidx],
             intrinsics=self.intrinsics[bidx],
             poses=None if self.poses is None else self.poses[bidx, sidx],
+            feature_image=None if self.feature_image is None
+            else self.feature_image[bidx, sidx],
         )
 
     def with_poses(self, poses) -> "RGBDImages":

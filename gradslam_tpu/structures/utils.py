@@ -73,6 +73,18 @@ def pointclouds_from_rgbdimages(
         alpha = jnp.exp(-jnp.sum(local**2, -1, keepdims=True) / (2.0 * sigma**2))
         alpha = jnp.clip(alpha, 1e-7, 1.01)
         features, _ = compact_masked(alpha, mask, cap)
+    if rgbdimages.feature_image is not None:
+        # Per-pixel user features (semantic one-hots, descriptors, ...) ride
+        # into per-point features, after the confidence channel when both
+        # are requested.
+        F = rgbdimages.feature_image.shape[-1]
+        ufeat, _ = compact_masked(
+            rgbdimages.feature_image.reshape(B, H * W, F), mask, cap
+        )
+        features = (
+            ufeat if features is None
+            else jnp.concatenate([features, ufeat], axis=-1)
+        )
     return Pointclouds(
         points=points, num_points=counts, normals=normals, colors=colors,
         features=features,

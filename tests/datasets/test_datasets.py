@@ -187,6 +187,20 @@ class TestDatautils:
         out = datautils.create_label_image(pred, {0: (0, 0, 0), 1: (255, 0, 0)})
         assert out[0, 1].tolist() == [255, 0, 0]
 
+    def test_labels_to_onehot(self):
+        lab = np.asarray([[0, 2], [1, 7]])  # 7 out of range
+        out = datautils.labels_to_onehot(lab, 3)
+        assert out.shape == (2, 2, 3) and out.dtype == np.float32
+        np.testing.assert_allclose(out[0, 0], [1, 0, 0])
+        np.testing.assert_allclose(out[0, 1], [0, 0, 1])
+        np.testing.assert_allclose(out[1, 1], [0, 0, 0])  # no evidence
+
+    def test_labels_to_onehot_raises(self):
+        with pytest.raises(TypeError):
+            datautils.labels_to_onehot(np.zeros((2, 2), np.float32), 3)
+        with pytest.raises(ValueError):
+            datautils.labels_to_onehot(np.zeros((2, 2), np.int32), 0)
+
 
 class TestTumutils:
     def test_read_file_list_and_associate(self, tmp_path):

@@ -79,3 +79,32 @@ class TestScannetFake:
                      seg_classes="nyu40")
         *_, labels = ds[0]
         assert labels.max() <= 40
+
+    def test_semantic_fusion_end_to_end(self, fake_scannet):
+        # ScanNet labels -> one-hot feature plane -> PointFusion semantic
+        # map (the capability the reference drops: its loader returns labels
+        # but its pipelines ignore them).
+        import jax.numpy as jnp
+
+        from gradslam_tpu import PointFusion, RGBDImages
+        from gradslam_tpu.datasets.datautils import labels_to_onehot
+
+        scans, meta = fake_scannet
+        ds = Scannet(scans, meta, scenes=None, start=0, end=3,
+                     height=24, width=32, seg_classes="scannet20")
+        colors, depths, intrinsics, poses, _, _, labels = ds[0]
+        onehot = labels_to_onehot(np.asarray(labels).squeeze(-1), 21)
+        frames = RGBDImages(
+            jnp.asarray(colors)[None], jnp.asarray(depths)[None],
+            jnp.asarray(intrinsics)[None, None], jnp.asarray(poses)[None],
+            feature_image=jnp.asarray(onehot)[None],
+        )
+        slam = PointFusion(odom="gt", feature_channels=21, use_jit=False)
+        pc, _ = slam(frames)
+        n = int(pc.num_points[0])
+        assert n > 0
+        fused = np.asarray(pc.features[0, :n, 1:])
+        # every fused one-hot stays a convex combination over classes
+        np.testing.assert_allclose(fused.sum(-1), 1.0, atol=1e-5)
+        map_labels = fused.argmax(-1)
+        assert map_labels.min() >= 0 and map_labels.max() <= 20
