@@ -110,7 +110,7 @@ class ShardedMap(NamedTuple):
     points: jnp.ndarray  # (B, CAP, 3)
     normals: jnp.ndarray  # (B, CAP, 3)
     colors: jnp.ndarray  # (B, CAP, 3) float or (B, CAP, 1) packed
-    features: jnp.ndarray  # (B, CAP, 1)
+    features: jnp.ndarray  # (B, CAP, 1 + F) = [ccount, *user]
     num_points: jnp.ndarray  # (K, B) int32
     num_dropped: jnp.ndarray  # (K, B) int32
 
@@ -227,6 +227,7 @@ class MapShardedPointFusion:
         angle_th: float = 20.0,
         sigma: float = 0.6,
         quantize_colors: bool = False,
+        feature_channels: int = 0,
         use_jit: bool = True,
     ):
         if odom not in ("gt", "icp", "gradicp"):
@@ -271,6 +272,15 @@ class MapShardedPointFusion:
         # packed frame row instead of a separate 3-wide gather. Same
         # trade-off as PointFusion(quantize_colors=True).
         self.quantize_colors = bool(quantize_colors)
+        # Semantic / user feature channels (same contract as
+        # PointFusion(feature_channels=F)): the sharded feature slice widens
+        # to [ccount, *user] and frames must carry a matching feature_image.
+        if not isinstance(feature_channels, int) or feature_channels < 0:
+            raise ValueError(
+                f"feature_channels must be a non-negative int. "
+                f"Got {feature_channels!r}."
+            )
+        self.feature_channels = feature_channels
         self._forward = jax.jit(self._forward_impl) if use_jit else self._forward_impl
 
     # ------------------------------------------------------------------ #
@@ -284,14 +294,11 @@ class MapShardedPointFusion:
         otherwise)."""
         if self.odom == "gt" and frames.poses is None:
             raise ValueError("MapShardedPointFusion(odom='gt') requires poses.")
-        if frames.feature_image is not None:
-            # Loud instead of a silent drop: the sharded map row is the fixed
-            # [ccount(, packed_color)] layout; user feature channels are a
-            # single-device PointFusion(feature_channels=F) capability today.
+        if frames.feature_channels != self.feature_channels:
             raise ValueError(
-                "MapShardedPointFusion does not fuse RGBDImages.feature_image "
-                "yet — use PointFusion(feature_channels=...) on a single "
-                "device, or drop the feature plane."
+                f"frames carry {frames.feature_channels} feature channel(s) "
+                f"but this pipeline fuses {self.feature_channels} — construct "
+                "MapShardedPointFusion(feature_channels=...) to match."
             )
         # channels-first frames would reshape into scrambled (HW, C) rows
         return self._forward(frames.to_channels_last())
@@ -342,6 +349,13 @@ class MapShardedPointFusion:
             get_alpha(frames.vertex_map, sigma=self.sigma, dim=4, keepdim=True)
             .reshape(B, L, HW, 1), 1, 0)
         fvalid = jnp.moveaxis(frames.valid_depth_mask.reshape(B, L, HW), 1, 0)
+        # User feature plane; zero-width when none — one code path, XLA
+        # elides every op on a 0-channel array.
+        F = self.feature_channels
+        fu = (
+            jnp.moveaxis(frames.feature_image.reshape(B, L, HW, F), 1, 0)
+            if F else jnp.zeros((L, B, HW, 0), jnp.float32)
+        )
         intr = frames.intrinsics[:, 0]  # (B, 4, 4)
 
         if frames.poses is not None:
@@ -374,7 +388,7 @@ class MapShardedPointFusion:
         GCAP = jnp.int32(K * C)
         quantized = self.quantize_colors
 
-        def sharded_scan(lv, ln, fc, fa, fvalid, poses_in, intr, sl, sv):
+        def sharded_scan(lv, ln, fc, fa, fvalid, fu, poses_in, intr, sl, sv):
             shard = jax.lax.axis_index(axis)
             base = shard * C
             bidx_c = jnp.broadcast_to(jnp.arange(B)[:, None], (B, C))
@@ -383,7 +397,7 @@ class MapShardedPointFusion:
             pixel_ids = jnp.broadcast_to(
                 jnp.arange(HW, dtype=jnp.int32)[None], (B, HW))
 
-            def fuse(state, pose, v, n, c, a, vd):
+            def fuse(state, pose, v, n, c, a, vd, uf):
                 """One fusion step at the given pose (global-frame v/n in)."""
                 pts, nrm, col, feat, nloc, ndrop = state
                 nonpad = lidx < nloc[:, None]
@@ -467,7 +481,7 @@ class MapShardedPointFusion:
                 alpha = g8[..., 6:7]
                 # fresh tail rows have feat == 0 (never written), so one
                 # uniform weighted-average formula covers merge AND append
-                cc_old = feat
+                cc_old = feat[..., :1]
                 new_cc = cc_old + alpha
                 inv = 1.0 / jnp.where(new_cc == 0, 1.0, new_cc)
                 t = touched[..., None]
@@ -481,7 +495,13 @@ class MapShardedPointFusion:
                 else:
                     gc = jnp.take_along_axis(c, safe_src[..., None], axis=1)
                     col2 = jnp.where(t, (cc_old * col + alpha * gc) * inv, col)
-                feat2 = jnp.where(t, new_cc, feat)
+                # user feature channels fuse like colors (one extra gather;
+                # zero-width when feature_channels == 0 — XLA elides it)
+                guf = jnp.take_along_axis(uf, safe_src[..., None], axis=1)
+                user2 = (cc_old * feat[..., 1:] + alpha * guf) * inv
+                feat2 = jnp.where(
+                    t, jnp.concatenate([new_cc, user2], axis=-1), feat
+                )
                 appended = jnp.sum((mine & (tail < C)).astype(jnp.int32), axis=-1)
                 # overflow accounting: rounds dealt to this shard that found
                 # its slice full (see ShardedMap.num_dropped)
@@ -532,7 +552,7 @@ class MapShardedPointFusion:
             zeros3 = jnp.zeros((B, C, 3), jnp.float32)
             state0 = (zeros3, zeros3,
                       jnp.zeros((B, C, 1), jnp.float32) if quantized else zeros3,
-                      jnp.zeros((B, C, 1), jnp.float32),
+                      jnp.zeros((B, C, 1 + F), jnp.float32),
                       jnp.zeros((B,), jnp.int32),
                       jnp.zeros((B,), jnp.int32))
             state0 = jax.tree.map(
@@ -540,25 +560,26 @@ class MapShardedPointFusion:
 
             pose0 = poses_in[0]
             gv0, gn0 = globalize(pose0, lv[0], ln[0], fvalid[0])
-            state = fuse(state0, pose0, gv0, gn0, fc[0], fa[0], fvalid[0])
+            state = fuse(state0, pose0, gv0, gn0, fc[0], fa[0], fvalid[0], fu[0])
 
             if not tracked:
                 def body(carry, frame):
                     st = carry
-                    v, n, c, a, vd, pose = frame
+                    v, n, c, a, vd, uf, pose = frame
                     gv, gn = globalize(pose, v, n, vd)
-                    return fuse(st, pose, gv, gn, c, a, vd), pose
+                    return fuse(st, pose, gv, gn, c, a, vd, uf), pose
 
                 state, _ = jax.lax.scan(
                     body, state,
-                    (lv[1:], ln[1:], fc[1:], fa[1:], fvalid[1:], poses_in[1:]))
+                    (lv[1:], ln[1:], fc[1:], fa[1:], fvalid[1:], fu[1:],
+                     poses_in[1:]))
                 poses_out = poses_in
             else:
                 cv = self.motion_model == "constant_velocity"
 
                 def body(carry, frame):
                     st, prev_pose, prev_delta = carry
-                    v, n, c, a, vd, s_loc, s_valid = frame
+                    v, n, c, a, vd, uf, s_loc, s_valid = frame
                     # constant-velocity prior (see ICPSLAM.motion_model):
                     # solve from — and project the association window at —
                     # the predicted camera
@@ -568,7 +589,7 @@ class MapShardedPointFusion:
                     )
                     pose = localize(st, pred, s_loc, s_valid)
                     gv, gn = globalize(pose, v, n, vd)
-                    st = fuse(st, pose, gv, gn, c, a, vd)
+                    st = fuse(st, pose, gv, gn, c, a, vd, uf)
                     delta = (
                         compose_transformations(
                             pose, inverse_transformation(prev_pose)
@@ -582,7 +603,7 @@ class MapShardedPointFusion:
                 )
                 (state, _, _), rest = jax.lax.scan(
                     body, (state, pose0, delta0),
-                    (lv[1:], ln[1:], fc[1:], fa[1:], fvalid[1:],
+                    (lv[1:], ln[1:], fc[1:], fa[1:], fvalid[1:], fu[1:],
                      tuple(x[1:] for x in sl), tuple(x[1:] for x in sv)))
                 poses_out = jnp.concatenate([pose0[None], rest], axis=0)
 
@@ -594,14 +615,14 @@ class MapShardedPointFusion:
         fused = jax.shard_map(
             sharded_scan,
             mesh=self.mesh,
-            in_specs=(rep,) * 9,
+            in_specs=(rep,) * 10,
             out_specs=(out_map, out_map, out_map, out_map,
                        P(axis, None), P(axis, None), rep),
             # the tracked pose / solver results are bit-identical on every
             # shard (replicated compute on all-gathered inputs), but the
             # static varying-axes checker can't prove it
             check_vma=not tracked,
-        )(lv, ln, fc, fa, fvalid, poses_in, intr,
+        )(lv, ln, fc, fa, fvalid, fu, poses_in, intr,
           sl if sl is not None else (jnp.zeros((L, B, 1, 3), jnp.float32),),
           sv if sv is not None else (jnp.zeros((L, B, 1), bool),))
         pts, nrm, col, feat, nums, ndrops, poses_out = fused

@@ -237,6 +237,48 @@ class TestMapShardedFusion:
             atol=0.02,
         )
 
+    def test_feature_fusion_matches_single_device(self, mesh):
+        """Semantic feature channels on the sharded path: fused user features
+        match the single-device PointFusion(feature_channels=F) per point."""
+        import dataclasses
+
+        B, L, H, W = 1, 3, 16, 24
+        frames = synthetic_frames(B, L=L, H=H, W=W)
+        lab = np.zeros((B, L, H, W, 2), np.float32)
+        lab[..., : W // 2, 0] = 1.0
+        lab[..., W // 2 :, 1] = 1.0
+        frames = dataclasses.replace(frames, feature_image=jnp.asarray(lab))
+        cap = 8 * 256
+
+        single = PointFusion(odom="gt", feature_channels=2, map_capacity=cap)
+        pc_s, _ = single(frames)
+        sharded = MapShardedPointFusion(
+            map_capacity=cap, mesh=mesh, feature_channels=2
+        )
+        smap, _ = sharded(frames)
+        assert smap.features.shape[-1] == 3  # [ccount, 2 user]
+        pc_m = smap.to_pointclouds()
+        assert int(np.asarray(smap.num_points).sum()) == int(
+            np.asarray(pc_s.num_points).sum()
+        )
+        # match point sets, then compare full feature rows per matched point
+        pts_m = np.asarray(pc_m.points_list[0])
+        pts_s = np.asarray(pc_s.points_list[0])
+        om = np.lexsort((pts_m[:, 2], pts_m[:, 1], pts_m[:, 0]))
+        os_ = np.lexsort((pts_s[:, 2], pts_s[:, 1], pts_s[:, 0]))
+        np.testing.assert_allclose(pts_m[om], pts_s[os_], atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(pc_m.features_list[0])[om],
+            np.asarray(pc_s.features_list[0])[os_],
+            atol=1e-4,
+        )
+
+    def test_feature_width_mismatch_raises(self, mesh):
+        frames = synthetic_frames(1, L=2, H=8, W=8)
+        with pytest.raises(ValueError, match="feature channel"):
+            MapShardedPointFusion(map_capacity=8 * 16, mesh=mesh,
+                                  feature_channels=2)(frames)
+
     def test_overflow_accounting(self, mesh):
         """A too-small global capacity must surface in num_dropped, exactly
         as on the single-device path."""
