@@ -149,6 +149,7 @@ class ICPSLAM:
         lookahead_assoc: str = "fresh",
         prune_every: int = 0,
         prune_min_confidence: float = 1.0,
+        feature_channels: int = 0,
         use_jit: bool = True,
         remat: bool = False,
     ):
@@ -187,6 +188,15 @@ class ICPSLAM:
             )
         self.prune_every = int(prune_every)
         self.prune_min_confidence = prune_min_confidence
+        # User feature channels appended per map point (semantic mapping —
+        # see PointFusion(feature_channels=...)); on an aggregate map the
+        # features come out as [alpha, *user] per update_map_aggregate.
+        if not isinstance(feature_channels, int) or feature_channels < 0:
+            raise ValueError(
+                f"feature_channels must be a non-negative int. "
+                f"Got {feature_channels!r}."
+            )
+        self.feature_channels = feature_channels
         self.pyramid = validate_pyramid(pyramid)
         validate_robust(robust_loss, robust_scale)
         self.robust_loss = robust_loss
@@ -383,6 +393,10 @@ class ICPSLAM:
 
     @property
     def _map_feature_dim(self):
+        if self.feature_channels:
+            # [alpha, *user] — a confidence channel always leads so the
+            # feature layout is uniform across pipelines
+            return 1 + self.feature_channels
         return 1 if self.has_features else None
 
     def empty_map(self, batch_size: int, capacity: int) -> Pointclouds:

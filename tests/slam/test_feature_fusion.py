@@ -145,6 +145,26 @@ class TestFeatureFusionPipeline:
         assert float(jnp.abs(g).sum()) > 0
 
 
+class TestICPSLAMFeatureChannels:
+    def test_aggregate_pipeline_carries_features(self):
+        from gradslam_tpu import ICPSLAM
+
+        frames = _frames_with_halves()
+        slam = ICPSLAM(odom="gt", feature_channels=2, use_jit=False)
+        pc, _ = slam(frames)
+        n = int(pc.num_points[0])
+        assert pc.features.shape[-1] == 3  # [alpha, 2 user]
+        uf = np.asarray(pc.features[0, :n, 1:])
+        np.testing.assert_allclose(uf.sum(1), 1.0, atol=1e-5)
+
+    def test_mismatch_raises(self):
+        from gradslam_tpu import ICPSLAM
+
+        frames = _frames_with_halves()
+        with pytest.raises(ValueError, match="feature channel"):
+            ICPSLAM(odom="gt", use_jit=False)(frames)
+
+
 class TestFeatureFusionSemantics:
     def test_weighted_average_hand_computed(self):
         # One map point, one frame pixel hitting it: fused user feature must
