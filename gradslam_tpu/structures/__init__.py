@@ -10,12 +10,13 @@ from .structutils import (
     padded_to_list,
     plotly_image_hovertemplate,
 )
-from .utils import pointclouds_from_rgbdimages
+from .utils import estimate_normals, pointclouds_from_rgbdimages
 
 __all__ = [
     "Pointclouds",
     "RGBDImages",
     "pointclouds_from_rgbdimages",
+    "estimate_normals",
     "list_to_padded",
     "padded_to_list",
     "save_ply",
