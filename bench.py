@@ -15,6 +15,37 @@ import time
 import numpy as np
 
 
+def _assert_device_reachable(timeout_s: int = 180):
+    """Fail fast (non-zero exit) if the accelerator is unreachable.
+
+    jax.devices() against a dead remote-TPU tunnel BLOCKS forever (observed
+    2026-08-18) — a hang here would stall the whole benchmark harness, so
+    probe in a subprocess with a hard timeout first."""
+    import subprocess
+    import sys
+
+    probe = (
+        "import jax, jax.numpy as jnp; jax.devices(); "
+        "print(float(jnp.arange(4.0).sum()))"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", probe], capture_output=True, text=True,
+            timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        sys.stderr.write(
+            f"bench.py: accelerator probe hung for {timeout_s}s — backend "
+            "tunnel appears down; aborting instead of hanging.\n"
+        )
+        sys.exit(1)
+    if r.returncode != 0:
+        sys.stderr.write(
+            "bench.py: accelerator probe failed:\n" + r.stderr[-2000:] + "\n"
+        )
+        sys.exit(1)
+
+
 def main():
     import jax
 
@@ -111,4 +142,5 @@ def main():
 
 
 if __name__ == "__main__":
+    _assert_device_reachable()
     main()
