@@ -77,6 +77,12 @@ def refine(
     """Run the refinement; returns (losses, recovered_depth_scale,
     recovered_focal_scale) where "recovered" means correction x corruption —
     1.0 is perfect recovery."""
+    if loss == "ate" and odometry == "gt":
+        raise ValueError(
+            "--loss ate needs tracked odometry (icp/gradicp): with odom='gt' "
+            "the output poses ARE the reference poses, so the trajectory "
+            "loss is identically zero and nothing is recovered."
+        )
     import jax
     import jax.numpy as jnp
     import optax

@@ -898,15 +898,30 @@ def voxel_downsample(
     if reduce not in ("mean", "first"):
         raise ValueError(f"Unknown reduce mode: {reduce!r}.")
     if quantized_colors is None:
-        # Same auto-detection as update_map_fusion: the quantized layout is
-        # the ONLY colorless 2-feature layout this library produces, and
-        # silently mean-averaging its packed integers garbles every
-        # multi-point voxel's color.
+        # Auto-detection: a colorless 2-feature cloud is unambiguously the
+        # quantized [ccount, packed_color] layout (the only one this library
+        # produces), and silently mean-averaging its packed integers would
+        # garble every multi-point voxel's color. A colorless cloud with
+        # MORE feature channels is ambiguous — it could be quantized+user
+        # (PointFusion(quantize_colors=True, feature_channels=F)) or a
+        # generic descriptor cloud whose channel 1 must NOT be unpacked —
+        # so refuse to guess.
         quantized_colors = (
             pointclouds.colors is None
             and pointclouds.features is not None
-            and pointclouds.features.shape[-1] >= 2
+            and pointclouds.features.shape[-1] == 2
         )
+        if (
+            pointclouds.colors is None
+            and pointclouds.features is not None
+            and pointclouds.features.shape[-1] > 2
+        ):
+            raise ValueError(
+                "voxel_downsample cannot tell whether this colorless "
+                f"{pointclouds.features.shape[-1]}-channel feature layout "
+                "is quantized ([ccount, packed_color, *user]) or generic — "
+                "pass quantized_colors=True/False explicitly."
+            )
     elif quantized_colors and (
         pointclouds.colors is not None
         or pointclouds.features is None

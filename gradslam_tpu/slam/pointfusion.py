@@ -92,6 +92,7 @@ class PointFusion(ICPSLAM):
             lookahead_assoc=lookahead_assoc,
             prune_every=prune_every,
             prune_min_confidence=prune_min_confidence,
+            feature_channels=feature_channels,
             use_jit=use_jit,
             remat=remat,
         )
@@ -122,18 +123,12 @@ class PointFusion(ICPSLAM):
         self.quantize_colors = bool(quantize_colors)
         if self.quantize_colors:
             self._map_has_colors = False
-        # Semantic / descriptor fusion (no reference equivalent): the map's
-        # feature buffer gains `feature_channels` user channels after the
-        # bookkeeping channels ([ccount] or [ccount, packed_color]). Frames
-        # must then carry RGBDImages.feature_image (B, L, H, W, F) — label
-        # one-hots/logits, learned descriptors, ... — fused with the same
-        # confidence-weighted running average as colors, and differentiable.
-        if not isinstance(feature_channels, int) or feature_channels < 0:
-            raise ValueError(
-                f"feature_channels must be a non-negative int. "
-                f"Got {feature_channels!r}."
-            )
-        self.feature_channels = feature_channels
+        # feature_channels (semantic / descriptor fusion — validated and
+        # stored by ICPSLAM.__init__): the map's feature buffer gains user
+        # channels after the bookkeeping channels ([ccount] or
+        # [ccount, packed_color]); frames must carry a matching
+        # RGBDImages.feature_image, fused with the colors'
+        # confidence-weighted running average. Differentiable.
 
     @property
     def _map_feature_dim(self):

@@ -44,19 +44,21 @@ class RGBDImages:
     depth_image: jnp.ndarray  # (B, L, H, W, 1) — or (B, L, 1, H, W)
     intrinsics: jnp.ndarray  # (B, 1, 4, 4)
     poses: Optional[jnp.ndarray] = None  # (B, L, 4, 4)
-    # Optional per-pixel feature plane (B, L, H, W, F) — semantic label
-    # one-hots/logits, learned descriptors, … Fused into the map's feature
-    # channels by PointFusion(feature_channels=F) (confidence-weighted
-    # average, like colors) and appended by ICPSLAM aggregate maps. No
-    # reference equivalent: the reference's ScanNet loader returns labels
-    # but its pipelines drop them.
-    feature_image: Optional[jnp.ndarray] = None
     # Static layout flag (reference rgbdimages.py:242-257). Channels-last is
     # the canonical TPU layout; channels-first instances exist only for
     # reference API parity — derived maps transparently convert.
     channels_first: bool = dataclasses.field(
         default=False, metadata=dict(static=True)
     )
+    # Optional per-pixel feature plane (B, L, H, W, F) — semantic label
+    # one-hots/logits, learned descriptors, … Fused into the map's feature
+    # channels by PointFusion(feature_channels=F) (confidence-weighted
+    # average, like colors) and appended by ICPSLAM aggregate maps. No
+    # reference equivalent: the reference's ScanNet loader returns labels
+    # but its pipelines drop them. Declared AFTER channels_first so the
+    # reference's positional order (rgb, depth, K, poses, channels_first)
+    # keeps working.
+    feature_image: Optional[jnp.ndarray] = None
 
     def __post_init__(self):
         # Migration ergonomics: accept torch tensors (converted to numpy on

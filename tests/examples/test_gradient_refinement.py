@@ -33,6 +33,14 @@ class TestGradientRefinement:
         assert abs(rec_depth - 1.0) < 0.02  # started at 0.08 away
         assert abs(rec_focal - 1.0) < 0.03  # started at 0.06 away
 
+    def test_ate_with_gt_odometry_raises(self):
+        # odom='gt' echoes the reference poses, so the ate loss would be
+        # identically zero — refuse instead of silently recovering nothing.
+        mod = _load_module()
+        with pytest.raises(ValueError, match="tracked odometry"):
+            mod.refine(H=24, W=32, L=2, steps=1, loss="ate", odometry="gt",
+                       verbose=False)
+
     @pytest.mark.slow
     def test_ate_recovers_calibration_through_gradicp(self):
         # Trajectory loss: gradients flow through every gradLM ICP solve.

@@ -50,6 +50,16 @@ class TestRGBDImagesFeaturePlane:
         )
         assert jnp.array_equal(rt.feature_image, frames.feature_image)
 
+    def test_positional_channels_first_still_binds(self):
+        # The reference's positional order (rgb, depth, K, poses,
+        # channels_first) must keep working — feature_image is declared
+        # after the layout flag.
+        frames = _frames_with_halves()
+        cf = frames.to_channels_first()
+        rt = RGBDImages(cf.rgb_image, cf.depth_image, cf.intrinsics,
+                        cf.poses, True)
+        assert rt.channels_first and rt.feature_image is None
+
     def test_bad_shape_raises(self):
         frames = _frames_with_halves()
         with pytest.raises(ValueError, match="feature_image"):
@@ -242,7 +252,10 @@ class TestFeatureFusionSemantics:
             odom="gt", feature_channels=2, quantize_colors=True, use_jit=False
         )
         pc, _ = slam(frames)
-        out = voxel_downsample(pc, 0.05)
+        # a colorless 3+-channel layout is ambiguous: explicit flag required
+        with pytest.raises(ValueError, match="quantized_colors"):
+            voxel_downsample(pc, 0.05)
+        out = voxel_downsample(pc, 0.05, quantized_colors=True)
         n = int(out.num_points[0])
         assert n > 0
         uf = np.asarray(out.features[0, :n, 2:])
