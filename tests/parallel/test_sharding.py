@@ -54,6 +54,26 @@ class TestDataParallel:
             np.asarray(poses_dp), np.asarray(poses_single), atol=1e-6
         )
 
+    def test_feature_plane_shards_with_the_batch(self, mesh):
+        """RGBDImages.feature_image is a pytree leaf, so data-parallel
+        sharding must carry it — fused user features equal single-device."""
+        import dataclasses
+
+        frames = synthetic_frames(8)
+        B, L, H, W = frames.shape
+        lab = np.zeros((B, L, H, W, 2), np.float32)
+        lab[..., : W // 2, 0] = 1.0
+        lab[..., W // 2 :, 1] = 1.0
+        frames = dataclasses.replace(frames, feature_image=jnp.asarray(lab))
+
+        single = PointFusion(odom="gt", feature_channels=2)
+        pc_s, _ = single(frames)
+        dp = DataParallelSLAM(PointFusion(odom="gt", feature_channels=2), mesh)
+        pc_dp, _ = dp(frames)
+        np.testing.assert_allclose(
+            np.asarray(pc_dp.features), np.asarray(pc_s.features), atol=1e-6
+        )
+
     def test_output_is_sharded(self, mesh):
         frames = synthetic_frames(8)
         dp = DataParallelSLAM(PointFusion(odom="gt"), mesh)
