@@ -151,3 +151,51 @@ class TestOnlineSlamCLI:
         assert stats["pairs"] == 4
         assert stats["ate_rmse_m"] < 1e-5
         assert stats["rpe_trans_rmse_m"] < 1e-5
+
+
+@pytest.fixture(scope="module")
+def fake_scannet_cli(tmp_path_factory):
+    """Tiny fake ScanNet tree (pattern from tests/datasets/test_scannet_fake)."""
+    import imageio.v2 as imageio
+
+    root = tmp_path_factory.mktemp("scannet_cli")
+    scans, meta = root / "scans", root / "seqmeta"
+    scene = scans / "scene0000_00"
+    for sub in ("color", "depth", "pose", "label-filt", "intrinsic"):
+        (scene / sub).mkdir(parents=True)
+    meta.mkdir()
+    rng = np.random.RandomState(0)
+    np.savetxt(str(scene / "intrinsic" / "intrinsic_depth.txt"),
+               np.diag([400.0, 400.0, 1.0, 1.0]))
+    lines = []
+    for i in range(4):
+        imageio.imwrite(str(scene / "color" / f"{i}.jpg"),
+                        (rng.rand(48, 64, 3) * 255).astype(np.uint8))
+        imageio.imwrite(str(scene / "depth" / f"{i}.png"),
+                        (rng.rand(48, 64) * 3000 + 500).astype(np.uint16))
+        imageio.imwrite(str(scene / "label-filt" / f"{i}.png"),
+                        rng.randint(0, 41, (48, 64)).astype(np.uint8))
+        pose = np.eye(4)
+        pose[0, 3] = 0.05 * i
+        np.savetxt(str(scene / "pose" / f"{i}.txt"), pose)
+        lines.append(
+            f"color scene0000_00/color/{i}.jpg depth scene0000_00/depth/{i}.png "
+            f"pose scene0000_00/pose/{i}.txt "
+            f"label-filt scene0000_00/label-filt/{i}.png "
+            f"intrinsic_color x extrinsic_color y extrinsic_depth z "
+            f"intrinsic_depth scene0000_00/intrinsic/intrinsic_depth.txt")
+    (meta / "scene0000_00-seq_0.txt").write_text("\n".join(lines))
+    return str(scans), str(meta)
+
+
+class TestScannetCLI:
+    def test_fuse_labels(self, fake_scannet_cli):
+        scans, meta = fake_scannet_cli
+        r = run_example(
+            "pointfusion_scannet.py", "--dataset_path", scans,
+            "--seqmeta_path", meta, "--start", "0", "--end", "4",
+            "--height", "24", "--width", "32", "--fuse-labels",
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "map points:" in r.stdout
+        assert "fused map class counts:" in r.stdout
