@@ -33,6 +33,17 @@ class TestGradientRefinement:
         assert abs(rec_depth - 1.0) < 0.02  # started at 0.08 away
         assert abs(rec_focal - 1.0) < 0.03  # started at 0.06 away
 
+    def test_dense_depth_field_refinement(self):
+        # The dense mode: every pixel of every frame gets its own gradient
+        # through the fused map; a smooth 2-3% bias field is undone to mm.
+        mod = _load_module()
+        losses, before, after = mod.refine(
+            H=24, W=32, L=3, steps=30, lr=0.01, optimize="depth",
+            verbose=False,
+        )
+        assert losses[-1] < 0.05 * losses[0]
+        assert after < 0.2 * before  # ~22 mm MAE -> ~1.6 mm measured
+
     def test_ate_with_gt_odometry_raises(self):
         # odom='gt' echoes the reference poses, so the ate loss would be
         # identically zero — refuse instead of silently recovering nothing.
