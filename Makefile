@@ -1,4 +1,4 @@
-.PHONY: test test-fast bench bench-all native baseline clean
+.PHONY: test test-fast bench bench-all native baseline docs clean
 
 native:
 	./native/build.sh
@@ -7,7 +7,10 @@ test:
 	python -m pytest tests/ -q
 
 test-fast:
-	python -m pytest tests/ -q --ignore=tests/slam/test_slam.py
+	python -m pytest tests/ -q -m "not slow"
+
+docs:
+	python scripts/gen_api_docs.py
 
 bench:
 	python bench.py
