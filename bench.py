@@ -105,11 +105,23 @@ def main():
             "schedule is too small for this clip"
         )
 
-    # compile + warmup. NOTE: on tunneled TPU backends block_until_ready can
+    # Explicit AOT trace + compile so compile time is a recorded benchmark
+    # output (VERDICT r2 #7: the ~75 s headline XLA compile must not regress
+    # silently). With the persistent cache warm this measures the cached
+    # path; the cold number is recorded once in ROADMAP (74.7 s, round 2).
+    t0 = time.perf_counter()
+    lowered = run.lower(frames)
+    trace_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    run_c = lowered.compile()
+    compile_s = time.perf_counter() - t0
+
+    # warmup. NOTE: on tunneled TPU backends block_until_ready can
     # return before remote execution finishes, so force a scalar readback.
-    pc, out_poses, check = run(frames)
+    pc, out_poses, check = run_c(frames)
     _ = float(check)
     assert_no_drops(pc)
+    run = run_c
 
     # Pipelined throughput measurement: dispatch all runs, then read back —
     # on tunneled backends a per-call scalar readback costs ~0.5 s of RTT
@@ -136,6 +148,8 @@ def main():
                 "value": round(fps, 2),
                 "unit": "frames/s",
                 "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+                "trace_s": round(trace_s, 2),
+                "compile_s": round(compile_s, 2),
             }
         )
     )

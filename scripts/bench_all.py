@@ -54,9 +54,18 @@ def run(out_path=None):
         # pc.num_points[0] dispatches a remote dynamic_slice per access on
         # tunneled backends (~6 ms/frame of pure RTT).
         @jax.jit
-        def go(fr):
+        def go_jit(fr):
             pc, op = slam(fr)
             return pc, op, pc.num_points[0] + op[0, -1, 0, 3]
+
+        # Explicit AOT trace+compile so compile time is recorded per config
+        # (VERDICT r2 #7); cached-path number with the persistent cache warm.
+        t0 = time.perf_counter()
+        lowered = go_jit.lower(frames)
+        trace_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        go = lowered.compile()
+        compile_s = time.perf_counter() - t0
 
         pc, op, c = go(frames)
         _ = float(c)
@@ -72,7 +81,13 @@ def run(out_path=None):
         for pc, op, c in outs:
             _ = float(c)
         dt = (time.perf_counter() - t0) / iters
-        entry = {"metric": tag, "value": round(B * L / dt, 2), "unit": "frames/s"}
+        entry = {
+            "metric": tag,
+            "value": round(B * L / dt, 2),
+            "unit": "frames/s",
+            "trace_s": round(trace_s, 2),
+            "compile_s": round(compile_s, 2),
+        }
         if baseline:
             entry["vs_baseline"] = round(B * L / dt / baseline, 1)
         if ate_m is not None:

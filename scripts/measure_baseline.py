@@ -47,6 +47,40 @@ def measure(B=1, L=30, H=480, W=640, warmup_frames=2):
     return fps, dt, [p.shape[0] for p in pc.points_list]
 
 
+def measure_tracked_640(B=1, L=30, H=480, W=640, dsratio=4, numiters=10,
+                        warmup_frames=2):
+    """BASELINE.md config #3: PointFusion + GradICP at full 640x480 (reference
+    entry point: /root/reference/examples/pointfusion.py:40-61 with
+    odometry=gradicp). Uses dsratio=4 / numiters=10 to match the solver work
+    of the existing 320x240 tracked baselines (MEASURED_BASELINE.json
+    "tracked_baselines") — the TPU side is benchmarked with identical solver
+    parameters. Also records the recovered trajectory's ATE vs ground truth
+    so the baseline carries accuracy, not just speed."""
+    from gradslam.slam.pointfusion import PointFusion
+    from gradslam.structures.rgbdimages import RGBDImages
+
+    rgb, depths, intrinsics, poses = _synthetic_frames_arrays(B, L, H, W)
+    frames = RGBDImages(
+        torch.from_numpy(rgb),
+        torch.from_numpy(depths),
+        torch.from_numpy(intrinsics),
+        torch.from_numpy(poses),
+        channels_first=False,
+    )
+    slam = PointFusion(odom="gradicp", dsratio=dsratio, numiters=numiters)
+    with torch.no_grad():
+        slam(frames[:, :warmup_frames])
+        t0 = time.perf_counter()
+        pc, out_poses = slam(frames)
+        dt = time.perf_counter() - t0
+    fps = (B * L) / dt
+    traj = out_poses[0].numpy()  # (L, 4, 4)
+    gt = poses[0]
+    err = traj[:, :3, 3] - gt[:, :3, 3]
+    ate = float(np.sqrt((err**2).sum(-1).mean()))
+    return fps, dt, [p.shape[0] for p in pc.points_list], ate
+
+
 def measure_large_map(B=1, L=60, H=480, W=640, speed=4.0, warmup_frames=2):
     """BASELINE.md config #4 analogue: long sequence, fast camera — the map
     grows into the millions of points (reference entry point:
@@ -84,7 +118,22 @@ if __name__ == "__main__":
         with open(out) as f:
             result = json.load(f)
 
-    if "--large-map" in sys.argv:
+    if "--tracked-640" in sys.argv:
+        tfps, tdt, tcounts, tate = measure_tracked_640()
+        result.setdefault("tracked_baselines", {})[
+            "pointfusion_gradicp_640x480_fps"
+        ] = tfps
+        result["tracked_baselines"]["pointfusion_gradicp_640x480"] = {
+            "config": (
+                "PointFusion + GradICP, 30 frames synthetic 640x480, batch 1, "
+                "dsratio=4, numiters=10 (BASELINE.md #3)"
+            ),
+            "reference_fps": tfps,
+            "wall_s": tdt,
+            "map_counts": tcounts,
+            "ate_m": tate,
+        }
+    elif "--large-map" in sys.argv:
         lfps, ldt, lcounts = measure_large_map()
         result["large_map_baseline"] = {
             "config": (

@@ -17,10 +17,76 @@ import jax
 # the config API wins over the plugin, so force CPU explicitly as well.
 jax.config.update("jax_platforms", "cpu")
 
+import re
+
 import numpy as np
 import pytest
 
 DATA_DIR = os.path.join(os.path.dirname(__file__), "data", "msrd_b2s3")
+
+# --- Skip audit (VERDICT r2 #8) -------------------------------------------
+# Every skip must carry an allowlisted reason; a skip whose reason is not
+# recognized FAILS instead. This prevents permanently-dead tests from
+# accumulating silently — the reference's disease: its real-dataset tests
+# skipped forever on hardcoded developer paths ("G:/Datasets/TUM",
+# /root/reference/tests/datasets/test_tum.py:14-17, SURVEY §4.7) and nobody
+# noticed they never ran in CI.
+SKIP_REASON_ALLOWLIST = [
+    # virtual-device mesh tests when run outside the 8-device conftest env
+    r"needs \d+ \(virtual\) devices",
+    # native C++ loader is an optional build artifact (native/build.sh)
+    r"native frameio library not built",
+    # inverse condition of the lazy-import failure test
+    r"plotly installed; lazy-import failure not testable",
+    # optional host-side deps, absent in minimal environments
+    r"could not import 'plotly",
+    r"could not import 'open3d",
+    r"could not import 'imageio",
+    r"could not import 'torch",
+    r"could not import 'scipy",
+    r"could not import 'jax",
+    # tests that need the real accelerator (run in the TPU lane, not CPU CI)
+    r"requires a TPU backend",
+]
+
+
+@pytest.hookimpl(hookwrapper=True)
+def pytest_runtest_makereport(item, call):
+    outcome = yield
+    report = outcome.get_result()
+    if not report.skipped:
+        return
+    reason = ""
+    if isinstance(report.longrepr, tuple):
+        reason = report.longrepr[2]
+    else:  # pragma: no cover - defensive
+        reason = str(report.longrepr)
+    reason = reason.removeprefix("Skipped: ")
+    if not any(re.search(p, reason) for p in SKIP_REASON_ALLOWLIST):
+        report.outcome = "failed"
+        report.longrepr = (
+            f"unexpected skip reason: {reason!r}\n"
+            "Skip reasons must match tests/conftest.py "
+            "SKIP_REASON_ALLOWLIST (skip-audit; VERDICT r2 #8) so that "
+            "permanently-dead tests cannot accumulate silently."
+        )
+
+
+def pytest_terminal_summary(terminalreporter, exitstatus, config):
+    skipped = terminalreporter.stats.get("skipped", [])
+    if not skipped:
+        return
+    terminalreporter.write_sep("-", "skip audit (allowlisted reasons)")
+    reasons = {}
+    for rep in skipped:
+        reason = rep.longrepr[2] if isinstance(rep.longrepr, tuple) else str(
+            rep.longrepr
+        )
+        reasons.setdefault(reason.removeprefix("Skipped: "), []).append(
+            rep.nodeid
+        )
+    for reason, nodes in sorted(reasons.items()):
+        terminalreporter.write_line(f"{len(nodes):3d}x {reason}")
 
 
 @pytest.fixture(scope="session")
