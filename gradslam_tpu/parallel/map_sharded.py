@@ -185,8 +185,18 @@ class MapShardedPointFusion:
     whole frame scan runs inside one ``shard_map``-ed jit.
 
     Args:
-        map_capacity: GLOBAL capacity; must be divisible by the mesh size.
-        mesh: 1-D mesh to shard over (default: all devices, axis 'map').
+        map_capacity: GLOBAL capacity; must be divisible by the map-axis
+            mesh size.
+        mesh: mesh to shard over (default: all devices on a 1-D axis
+            'map'). A 2-D mesh composes batch (data) parallelism with map
+            sharding: pass ``batch_axis`` naming the batch mesh axis and
+            ``axis_name`` naming the map axis — each batch element's map
+            lives sharded across that element's row of map-axis devices, and
+            all fusion/odometry collectives stay within the row (fusion is
+            independent per batch element, so no cross-batch communication
+            exists).
+        batch_axis: name of the mesh axis the batch dim is sharded over
+            (2-D meshes only; None = map-only sharding).
         odom: 'gt' (poses given), 'icp' or 'gradicp' (frame-to-map tracking
             with the solver replicated across shards and the ICP target
             all-gathered from per-shard active windows).
@@ -208,6 +218,7 @@ class MapShardedPointFusion:
         map_capacity: int,
         mesh: Optional[Mesh] = None,
         axis_name: str = "map",
+        batch_axis: Optional[str] = None,
         odom: str = "gt",
         dsratio: int = 4,
         numiters: int = 20,
@@ -234,13 +245,32 @@ class MapShardedPointFusion:
             raise ValueError(f"Odometry method ({odom}) not supported.")
         if mesh is None:
             mesh = Mesh(np.asarray(jax.devices()), (axis_name,))
+        if axis_name not in mesh.axis_names:
+            raise ValueError(
+                f"mesh has no axis {axis_name!r} (axes: {mesh.axis_names})."
+            )
+        if batch_axis is None and len(mesh.axis_names) > 1:
+            raise ValueError(
+                "multi-axis mesh requires batch_axis naming the batch "
+                f"(data-parallel) axis (mesh axes: {mesh.axis_names})."
+            )
+        if batch_axis is not None:
+            if batch_axis not in mesh.axis_names:
+                raise ValueError(
+                    f"mesh has no axis {batch_axis!r} "
+                    f"(axes: {mesh.axis_names})."
+                )
+            if batch_axis == axis_name:
+                raise ValueError("batch_axis must differ from axis_name.")
         self.mesh = mesh
         self.axis_name = axis_name
-        self.K = int(mesh.devices.size)
+        self.batch_axis = batch_axis
+        self.K = int(mesh.shape[axis_name])
+        self.dp = int(mesh.shape[batch_axis]) if batch_axis else 1
         if map_capacity % self.K != 0:
             raise ValueError(
                 f"map_capacity ({map_capacity}) must be divisible by the "
-                f"mesh size ({self.K})."
+                f"map-axis mesh size ({self.K})."
             )
         self.map_capacity = map_capacity
         self.odom = odom
@@ -294,6 +324,11 @@ class MapShardedPointFusion:
         otherwise)."""
         if self.odom == "gt" and frames.poses is None:
             raise ValueError("MapShardedPointFusion(odom='gt') requires poses.")
+        if frames.shape[0] % self.dp != 0:
+            raise ValueError(
+                f"batch size ({frames.shape[0]}) must be divisible by the "
+                f"batch-axis mesh size ({self.dp})."
+            )
         if frames.feature_channels != self.feature_channels:
             raise ValueError(
                 f"frames carry {frames.feature_channels} feature channel(s) "
@@ -336,6 +371,9 @@ class MapShardedPointFusion:
         K = self.K
         C = self.map_capacity // K
         axis = self.axis_name
+        # Batch (data-parallel) axis: None on a 1-D mesh — P(None, None)
+        # degrades to fully replicated, so one spec set covers both layouts.
+        ba = self.batch_axis
         ds = self.dsratio
         tracked = self.odom != "gt"
 
@@ -389,6 +427,9 @@ class MapShardedPointFusion:
         quantized = self.quantize_colors
 
         def sharded_scan(lv, ln, fc, fa, fvalid, fu, poses_in, intr, sl, sv):
+            # Local batch size: under a 2-D (batch x map) mesh each device
+            # sees B / dp batch rows; every shape built below must use it.
+            B = lv.shape[1]
             shard = jax.lax.axis_index(axis)
             base = shard * C
             bidx_c = jnp.broadcast_to(jnp.arange(B)[:, None], (B, C))
@@ -555,8 +596,9 @@ class MapShardedPointFusion:
                       jnp.zeros((B, C, 1 + F), jnp.float32),
                       jnp.zeros((B,), jnp.int32),
                       jnp.zeros((B,), jnp.int32))
+            vary_axes = (axis,) if ba is None else (axis, ba)
             state0 = jax.tree.map(
-                lambda x: jax.lax.pcast(x, axis, to="varying"), state0)
+                lambda x: jax.lax.pcast(x, vary_axes, to="varying"), state0)
 
             pose0 = poses_in[0]
             gv0, gn0 = globalize(pose0, lv[0], ln[0], fvalid[0])
@@ -610,16 +652,17 @@ class MapShardedPointFusion:
             pts, nrm, col, feat, nloc, ndrop = state
             return pts, nrm, col, feat, nloc[None], ndrop[None], poses_out
 
-        rep = P()
-        out_map = P(None, axis)
+        bspec = P(None, ba)  # (L, B, ...) frame-sequence arrays
+        out_map = P(ba, axis)  # (B, CAP, ...) map buffers
         fused = jax.shard_map(
             sharded_scan,
             mesh=self.mesh,
-            in_specs=(rep,) * 10,
+            in_specs=(bspec, bspec, bspec, bspec, bspec, bspec, bspec,
+                      P(ba), bspec, bspec),
             out_specs=(out_map, out_map, out_map, out_map,
-                       P(axis, None), P(axis, None), rep),
+                       P(axis, ba), P(axis, ba), bspec),
             # the tracked pose / solver results are bit-identical on every
-            # shard (replicated compute on all-gathered inputs), but the
+            # map shard (replicated compute on all-gathered inputs), but the
             # static varying-axes checker can't prove it
             check_vma=not tracked,
         )(lv, ln, fc, fa, fvalid, fu, poses_in, intr,

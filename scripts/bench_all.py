@@ -160,6 +160,70 @@ def run(out_path=None):
     timed("PointFusion(gradicp, pyramid 8:6+4:2, reuse+quantized) 320x240 frames/s",
           gicp_p, frames, B, L, baseline=0.323, ate=True)
 
+    # config 3 at FULL resolution (BASELINE.md #3, VERDICT r2 #1): the
+    # north-star tracked operating point — PointFusion + GradICP at 640x480,
+    # 30 frames (reference entry: /root/reference/examples/pointfusion.py
+    # with odometry=gradicp). Baseline measured at the same point by
+    # scripts/measure_baseline.py --tracked-640 (same dsratio=4/numiters=10).
+    baseline_path = os.path.join(REPO, "MEASURED_BASELINE.json")
+    tb640 = None
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            tb640 = json.load(f).get("tracked_baselines", {}).get(
+                "pointfusion_gradicp_640x480_fps"
+            )
+    B, L, H, W = 1, 30, 480, 640
+    rgb, depths, intrinsics, poses = _synthetic_frames_arrays(B, L, H, W)
+    frames = RGBDImages(
+        jnp.asarray(rgb), jnp.asarray(depths), jnp.asarray(intrinsics),
+        jnp.asarray(poses),
+    )
+    # same clip as the gt headline, so the same capacity schedule holds
+    # (tracked map sizes match gt to tie-break noise; zero-drop asserted)
+    sched640 = [(10, 368_640), (10, 450_560), (10, 540_672)]
+    gicp640 = PointFusion(odom="gradicp", dsratio=4, numiters=10,
+                          map_capacity=sched640)
+    timed("PointFusion(gradicp) 640x480 frames/s", gicp640, frames, B, L,
+          iters=2, baseline=tb640, ate=True)
+    gicp640_p = PointFusion(odom="gradicp", pyramid=[(8, 6), (4, 2)],
+                            lookahead_assoc="reuse", quantize_colors=True,
+                            map_capacity=sched640)
+    timed("PointFusion(gradicp, pyramid 8:6+4:2, reuse+quantized) 640x480 frames/s",
+          gicp640_p, frames, B, L, iters=2, baseline=tb640, ate=True)
+
+    # Hard accuracy clip (VERDICT r2 #4): 6 cm/frame accelerating camera,
+    # 5 mm depth noise, ~12% frame-inconsistent outlier patches biased up to
+    # ±35 cm (datasets.hard_sequence). Plain least-squares visibly degrades;
+    # the robustness features earn their keep — the ate_m spread across these
+    # rows IS the result (speed is secondary here). Measured at 120x160 on
+    # CPU while tuning: plain 83 mm, huber 79, tukey 52, pyramid 115,
+    # cv 270 (outlier error feedback), cv+tukey 12 mm.
+    from gradslam_tpu.datasets import hard_sequence
+
+    B, L, H, W = 1, 30, 240, 320
+    rgb, depths, intrinsics, poses = hard_sequence(B, L, H, W)
+    frames = RGBDImages(
+        jnp.asarray(rgb), jnp.asarray(depths), jnp.asarray(intrinsics),
+        jnp.asarray(poses),
+    )
+    hard_cap = L * H * W  # fast camera + unfusable outliers: generous fixed cap
+    hard_cfgs = [
+        ("plain", {}),
+        ("huber", dict(robust_loss="huber")),
+        ("tukey", dict(robust_loss="tukey")),
+        ("pyramid 8:6+4:2", dict(pyramid=[(8, 6), (4, 2)])),
+        ("cv", dict(motion_model="constant_velocity")),
+        ("cv+tukey", dict(motion_model="constant_velocity",
+                          robust_loss="tukey")),
+    ]
+    for name, kw in hard_cfgs:
+        kw = dict(kw)
+        if "pyramid" not in kw:
+            kw.update(dsratio=4, numiters=10)
+        hslam = PointFusion(odom="gradicp", map_capacity=hard_cap, **kw)
+        timed(f"PointFusion(gradicp, {name}) hard-clip 320x240 frames/s",
+              hslam, frames, B, L, iters=2, ate=True)
+
     # config 4: large map / long sequence (BASELINE.md #4 analogue — no
     # ScanNet data in this environment, so the same procedural scene with a
     # 4x-speed camera: the map reaches 1.13M points by frame 60, matching a
@@ -215,6 +279,69 @@ def run(out_path=None):
             "unit": "frames/s",
         }
     )
+
+    # config 5 at HEADLINE scale (VERDICT r2 #2): gradient-mode SLAM at the
+    # north-star operating point — jax.grad through the FULL 30-frame 640x480
+    # PointFusion program, remat off vs on, recording throughput and the
+    # compiled program's HBM footprint (XLA memory_analysis: argument +
+    # output + temp/scratch). The remat=False row answers "does the 640x480
+    # backward even fit HBM"; the remat=True row prices the recompute.
+    B, L, H, W = 1, 30, 480, 640
+    rgb, depths, intrinsics, poses = _synthetic_frames_arrays(B, L, H, W)
+    d0, K0 = jnp.asarray(depths), jnp.asarray(intrinsics)
+    rgb_j, poses_j = jnp.asarray(rgb), jnp.asarray(poses)
+    for remat in (False, True):
+        slam = PointFusion(odom="gt", use_jit=False, remat=remat,
+                           map_capacity=540_672)
+
+        def loss_fn(d, K):
+            fr = RGBDImages(rgb_j, d, K, poses_j)
+            pc, traj = slam.forward(fr)
+            return jnp.sum(pc.points**2)
+
+        tag = (f"grad(PointFusion(gt)) 640x480 30-frame backward "
+               f"(remat={'on' if remat else 'off'})")
+        try:
+            grad_jit = jax.jit(jax.grad(loss_fn, argnums=(0, 1)))
+            t0 = time.perf_counter()
+            lowered = grad_jit.lower(d0, K0)
+            trace_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            grad_c = lowered.compile()
+            compile_s = time.perf_counter() - t0
+            mem = grad_c.memory_analysis()
+            hbm_gb = None
+            if mem is not None:
+                hbm_gb = (mem.argument_size_in_bytes
+                          + mem.output_size_in_bytes
+                          + mem.temp_size_in_bytes) / 2**30
+            g = grad_c(d0, K0)
+            gd = float(np.abs(np.asarray(g[0])).max())
+            gk = float(np.abs(np.asarray(g[1])).max())
+            assert np.isfinite(gd) and np.isfinite(gk), (gd, gk)
+            assert gd > 0, "zero gradient to depth"
+            t0 = time.perf_counter()
+            outs = [grad_c(d0, K0) for _ in range(2)]
+            for g in outs:
+                _ = float(g[0].ravel()[0])
+            dt = (time.perf_counter() - t0) / 2
+            entry = {
+                "metric": tag,
+                "value": round(B * L / dt, 2),
+                "unit": "frames/s",
+                "trace_s": round(trace_s, 2),
+                "compile_s": round(compile_s, 2),
+            }
+            if hbm_gb is not None:
+                entry["hbm_gb"] = round(hbm_gb, 2)
+            results.append(entry)
+        except Exception as e:  # OOM with remat off is a valid finding
+            results.append({
+                "metric": tag,
+                "value": None,
+                "unit": "frames/s",
+                "error": f"{type(e).__name__}: {str(e)[:200]}",
+            })
 
     for r in results:
         print(json.dumps(r))

@@ -65,39 +65,58 @@ def main():
     from gradslam_tpu.datasets import synthetic_sequence
     from gradslam_tpu.parallel import MapShardedPointFusion, make_mesh
 
+    import numpy as np
+    from jax.sharding import Mesh
+
     rows = []
-    for K, H, W, cap_mult, odom in [
-        (8, 16, 24, 2, "gt"),
-        (8, 16, 24, 16, "gt"),   # 8x the capacity — volume must not change
-        (4, 16, 24, 2, "gt"),
-        (8, 24, 32, 2, "gt"),
-        (8, 16, 24, 2, "gradicp"),
+    for dp, K, H, W, cap_mult, odom in [
+        (1, 8, 16, 24, 2, "gt"),
+        (1, 8, 16, 24, 16, "gt"),  # 8x the capacity — volume must not change
+        (1, 4, 16, 24, 2, "gt"),
+        (1, 8, 24, 32, 2, "gt"),
+        (1, 8, 16, 24, 2, "gradicp"),
+        # 2-D dp x map mesh at the same per-device load as the K=4 row:
+        # fusion is independent per batch element, so the collective count
+        # and per-device bytes must MATCH the 1-D row exactly (the batch
+        # axis adds zero communication by construction; docs/design.md §6).
+        (2, 4, 16, 24, 2, "gt"),
+        (2, 4, 16, 24, 2, "gradicp"),
     ]:
-        mesh = make_mesh(devices[:K], axis_name="map")
-        B, L = 1, 2
+        B, L = dp, 2
         cap = K * 128 * cap_mult
+        if dp == 1:
+            mesh = make_mesh(devices[:K], axis_name="map")
+            mesh_kw = dict(mesh=mesh)
+        else:
+            mesh = Mesh(
+                np.asarray(devices[: dp * K]).reshape(dp, K), ("dp", "map")
+            )
+            mesh_kw = dict(mesh=mesh, batch_axis="dp")
         rgb, depth, intr, poses = synthetic_sequence(B, L, H, W)
         fr = RGBDImages(
             jnp.asarray(rgb), jnp.asarray(depth), jnp.asarray(intr),
             jnp.asarray(poses),
         )
         kw = dict(dsratio=2, numiters=2) if odom != "gt" else {}
-        msf = MapShardedPointFusion(map_capacity=cap, mesh=mesh, odom=odom, **kw)
+        msf = MapShardedPointFusion(map_capacity=cap, odom=odom, **mesh_kw,
+                                    **kw)
         total, ops = collective_volume(msf._forward_impl, fr)
-        rows.append((K, H, W, cap, odom, len(ops), total))
+        rows.append((dp, K, H, W, cap, odom, len(ops), total))
 
     # The HLO contains TWO fusion sites (the frame-0 bootstrap and the scan
     # body), so the per-frame volume is half the gt-mode total; tracked
     # odometry adds its window gather inside the scan body only.
     if args.markdown:
-        print("| K | HxW | capacity | odom | all_gathers (trace) | bytes gathered (trace) |")
+        print("| mesh | HxW | capacity | odom | all_gathers (trace) | bytes gathered (trace) |")
         print("|---|---|---|---|---|---|")
-        for K, H, W, cap, odom, n, total in rows:
-            print(f"| {K} | {H}x{W} | {cap} | {odom} | {n} | {total:,} |")
+        for dp, K, H, W, cap, odom, n, total in rows:
+            m = f"{K}" if dp == 1 else f"{dp}x{K} (dp x map)"
+            print(f"| {m} | {H}x{W} | {cap} | {odom} | {n} | {total:,} |")
     else:
-        for K, H, W, cap, odom, n, total in rows:
+        for dp, K, H, W, cap, odom, n, total in rows:
+            m = f"K={K}" if dp == 1 else f"dp={dp} K={K}"
             print(
-                f"K={K} HxW={H}x{W} cap={cap} odom={odom}: "
+                f"{m} HxW={H}x{W} cap={cap} odom={odom}: "
                 f"{n} all_gathers, {total:,} bytes in trace"
             )
 

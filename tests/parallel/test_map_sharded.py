@@ -383,3 +383,61 @@ class TestChannelsFirstInput:
             _sorted_rows(smap_b.to_pointclouds().points_list[0]),
             atol=1e-6,
         )
+
+
+class TestTwoDMesh:
+    """2-D (dp x map) mesh: batch sharding composed with explicit map
+    sharding (VERDICT r2 #6). Fusion is independent per batch element, so
+    the 2-D layout must reproduce single-device results exactly and add
+    zero cross-batch communication (collective_report rows match 1-D at
+    equal per-device load; docs/design.md §6)."""
+
+    @pytest.fixture(scope="class")
+    def mesh2d(self):
+        from jax.sharding import Mesh
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 (virtual) devices")
+        return Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4),
+                    ("dp", "map"))
+
+    @pytest.mark.parametrize("odom", ["gt", "gradicp"])
+    def test_matches_single_device(self, mesh2d, odom):
+        B, L, H, W = 2, 3, 16, 24
+        frames = synthetic_frames(B, L=L, H=H, W=W)
+        cap = 4 * 512
+        kw = dict(dsratio=2, numiters=4) if odom != "gt" else {}
+
+        single = PointFusion(odom=odom, map_capacity=cap, **kw)
+        pc_s, poses_s = single(frames)
+        sharded = MapShardedPointFusion(
+            map_capacity=cap, mesh=mesh2d, batch_axis="dp", odom=odom, **kw
+        )
+        smap, poses_m = sharded(frames)
+        pc_m = smap.to_pointclouds()
+
+        np.testing.assert_allclose(
+            np.asarray(poses_m), np.asarray(poses_s), atol=1e-5
+        )
+        for b in range(B):
+            np.testing.assert_allclose(
+                _sorted_rows(pc_m.points_list[b]),
+                _sorted_rows(pc_s.points_list[b]),
+                atol=1e-5,
+            )
+
+    def test_batch_divisibility_raises(self, mesh2d):
+        sharded = MapShardedPointFusion(
+            map_capacity=4 * 256, mesh=mesh2d, batch_axis="dp"
+        )
+        frames = synthetic_frames(1, L=2, H=16, W=24)  # B=1 not divisible
+        with pytest.raises(ValueError, match="divisible by the batch-axis"):
+            sharded(frames)
+
+    def test_mesh_validation(self, mesh2d):
+        with pytest.raises(ValueError, match="batch_axis"):
+            MapShardedPointFusion(map_capacity=4 * 256, mesh=mesh2d)
+        with pytest.raises(ValueError, match="no axis"):
+            MapShardedPointFusion(
+                map_capacity=4 * 256, mesh=mesh2d, batch_axis="nope"
+            )

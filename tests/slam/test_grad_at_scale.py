@@ -1,0 +1,85 @@
+"""Gradient-mode SLAM at headline scale, on the real chip (VERDICT r2 #2).
+
+The CPU test lane (conftest forces an 8-virtual-device CPU mesh) cannot run
+the 640x480 30-frame backward in reasonable time, so this test probes for
+the real TPU in a SUBPROCESS (a dead tunnel makes jax.devices() block
+forever — same hang-proofing as bench.py) and skips with an allowlisted
+reason when no accelerator is reachable. When the chip is there, it runs
+jax.grad through the full-resolution 30-frame PointFusion program with
+remat on and asserts finite, nonzero gradients to depth and intrinsics.
+
+Throughput/HBM numbers for remat on AND off are recorded per round by
+scripts/bench_all.py (grad(PointFusion(gt)) rows in BENCH_ALL_r*.json).
+"""
+
+import os
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
+
+_PROBE = (
+    "import jax; assert jax.default_backend() not in ('cpu',); "
+    "import jax.numpy as jnp; print(float(jnp.arange(4.0).sum()))"
+)
+
+_BACKWARD = textwrap.dedent(
+    """
+    import jax, jax.numpy as jnp, numpy as np
+    jax.config.update("jax_compilation_cache_dir", "/root/.jaxcache")
+    from __graft_entry__ import _synthetic_frames_arrays
+    from gradslam_tpu import PointFusion, RGBDImages
+
+    B, L, H, W = 1, 30, 480, 640
+    rgb, depths, intrinsics, poses = _synthetic_frames_arrays(B, L, H, W)
+    rgb_j, poses_j = jnp.asarray(rgb), jnp.asarray(poses)
+    slam = PointFusion(odom="gt", use_jit=False, remat=True,
+                       map_capacity=540_672)
+
+    def loss_fn(d, K):
+        fr = RGBDImages(rgb_j, d, K, poses_j)
+        pc, traj = slam.forward(fr)
+        return jnp.sum(pc.points**2)
+
+    g = jax.jit(jax.grad(loss_fn, argnums=(0, 1)))(
+        jnp.asarray(depths), jnp.asarray(intrinsics))
+    gd = float(np.abs(np.asarray(g[0])).max())
+    gk = float(np.abs(np.asarray(g[1])).max())
+    assert np.isfinite(gd) and np.isfinite(gk) and gd > 0 and gk > 0, (gd, gk)
+    print("OK", gd, gk)
+    """
+)
+
+
+def _tpu_env():
+    """Environment reaching the axon TPU plugin (see .claude/skills/verify):
+    PYTHONPATH must APPEND /root/.axon_site, and the conftest's
+    JAX_PLATFORMS=cpu must not leak into the child."""
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    env["PYTHONPATH"] = REPO + ":/root/.axon_site"
+    return env
+
+
+@pytest.mark.slow
+def test_640x480_backward_runs_on_chip():
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", _PROBE], capture_output=True, text=True,
+            timeout=180, env=_tpu_env(),
+        )
+    except subprocess.TimeoutExpired:
+        pytest.skip("requires a TPU backend (device probe hung)")
+    if r.returncode != 0:
+        pytest.skip("requires a TPU backend")
+
+    r = subprocess.run(
+        [sys.executable, "-c", _BACKWARD], capture_output=True, text=True,
+        timeout=1800, env=_tpu_env(), cwd=REPO,
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert "OK" in r.stdout
