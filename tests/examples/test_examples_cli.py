@@ -58,6 +58,16 @@ class TestExampleCLIs:
         assert r.returncode == 0, r.stderr[-2000:]
         assert "map points per sequence" in r.stdout
 
+    def test_pointfusion_robust_cv_flags(self, fake_tum):
+        r = run_example(
+            "pointfusion.py", "--dataset", "tum", "--dataset_path", fake_tum,
+            "--odometry", "gradicp", "--seqlen", "4", "--batch_size", "1",
+            "--height", "24", "--width", "32", "--robust-loss", "tukey",
+            "--motion-model", "constant_velocity",
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "map points per sequence" in r.stdout
+
     def test_pointfusion_quantized_flag(self, fake_tum):
         r = run_example(
             "pointfusion.py", "--dataset", "tum", "--dataset_path", fake_tum,
