@@ -23,6 +23,11 @@ def test_bench_tiny_prints_json_contract():
     lines = [ln for ln in r.stdout.strip().splitlines() if ln.startswith("{")]
     assert len(lines) == 1, r.stdout
     rec = json.loads(lines[0])
-    assert set(rec) == {"metric", "value", "unit", "vs_baseline"}
+    # Core driver contract plus the compile-time fields added for
+    # VERDICT r2 #7 (a compile-time regression must not ship silently).
+    assert set(rec) == {
+        "metric", "value", "unit", "vs_baseline", "trace_s", "compile_s"
+    }
     assert rec["unit"] == "frames/s"
     assert rec["value"] > 0
+    assert rec["trace_s"] >= 0 and rec["compile_s"] >= 0
