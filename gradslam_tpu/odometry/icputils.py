@@ -189,6 +189,51 @@ def _ptp_system(s, assoc_pts, assoc_normals, valid, robust_loss=None,
     return A * validf, b * validf
 
 
+_MIN_INLIER_MASS = 12.0  # two constraints per DOF of the 6-vector solve
+_TRUST_RADIUS_SCALES = 10.0  # max |xi| per iteration, in robust_scale units
+
+
+def _guard_robust_step(xi, A, robust_scale, src_pc):
+    r"""Step guard for robust solves: bound + fade the solved update.
+
+    A hard-rejecting kernel (tukey) can zero (or nearly zero) EVERY row of
+    the weighted system when the initialization drifts outside the inlier
+    band — e.g. a constant-velocity prior feeding back one bad solve. The
+    damped normal equations then invert a near-singular 6x6 whose "solution"
+    is unbounded garbage (1e6+ twists observed); gradICP applies it
+    unconditionally (no reject branch, reference icputils.py:527-543), the
+    next prediction amplifies it, and the pose diverges super-exponentially
+    to overflow/NaN within ~5 frames (observed on the hard benchmark clip).
+
+    Two composable guards, both exactly 1.0 for healthy solves so
+    trajectories are bit-identical away from the failure regime:
+
+    - displacement trust region: the worst-case POINT MOTION of the step,
+      ``|v| + |omega| * r_max`` (the twist acts about the origin of the
+      cloud's coordinate frame, so rotations carry an ``r_max`` lever arm —
+      a 0.3 rad twist moves a cloud 3 m from the origin by ~1 m; clamping
+      the raw twist norm does NOT bound the motion), is capped at
+      ``_TRUST_RADIUS_SCALES * robust_scale``. Surviving rows have
+      residuals ``<= robust_scale`` by construction, so a step orders of
+      magnitude beyond the band is inconsistent with the data that
+      produced it (healthy steps are well under the band width);
+    - inlier-mass fade: for unit(ish) normals each surviving row's first
+      three columns carry its IRLS weight (``w * |n|^2``), so
+      ``sum(A[:, :3]**2)`` is the effective inlier mass; below
+      ``_MIN_INLIER_MASS`` rows' worth the step fades linearly to zero — a
+      lost tracker coasts on its prior instead of chasing noise.
+    """
+    wmass = jnp.sum(A[:, :3] ** 2)
+    fade = jnp.minimum(1.0, wmass / _MIN_INLIER_MASS)
+    radius = _TRUST_RADIUS_SCALES * robust_scale
+    xi_flat = xi.reshape(-1)
+    v, omega = xi_flat[:3], xi_flat[3:]
+    r_max = jnp.sqrt(jnp.max(jnp.sum(src_pc * src_pc, axis=-1)))
+    disp = jnp.sqrt(jnp.sum(v * v)) + jnp.sqrt(jnp.sum(omega * omega)) * r_max
+    trust = jnp.minimum(1.0, radius / jnp.maximum(disp, 1e-30))
+    return xi * (fade * trust)
+
+
 def _reused_residual(pc, idx, tgt_pc, tgt_normals, src_mask, dist_thresh,
                      robust_loss=None, robust_scale=0.05):
     """Lookahead residual with the PREVIOUS association reused: recompute only
@@ -269,6 +314,8 @@ def point_to_plane_ICP(
     def body(state: _ICPState, _):
         A, b, idx = gn(state.src_pc)
         xi = solve_linear_system(A, b, state.damp)
+        if robust_loss is not None:  # see _guard_robust_step
+            xi = _guard_robust_step(xi, A, robust_scale, state.src_pc)
         residual_transform = se3_exp(xi)
         err = jnp.sum(b * b)
         one_step_pc = transform_pointcloud(state.src_pc, residual_transform)
@@ -343,6 +390,8 @@ def point_to_plane_gradICP(
     def body(state: _ICPState, _):
         A, b, idx = gn(state.src_pc)
         xi = solve_linear_system(A, b, state.damp)
+        if robust_loss is not None:  # see _guard_robust_step
+            xi = _guard_robust_step(xi, A, robust_scale, state.src_pc)
         residual_transform = se3_exp(xi)
         err = jnp.sum(b * b)
         one_step_pc = transform_pointcloud(state.src_pc, residual_transform)

@@ -49,6 +49,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..geometry.geometryutils import (
     compose_transformations,
     inverse_transformation,
+    orthonormalize_rotations,
 )
 from ..odometry.icputils import (
     point_to_plane_ICP,
@@ -624,9 +625,13 @@ class MapShardedPointFusion:
                     v, n, c, a, vd, uf, s_loc, s_valid = frame
                     # constant-velocity prior (see ICPSLAM.motion_model):
                     # solve from — and project the association window at —
-                    # the predicted camera
+                    # the predicted camera; SO(3) re-projection for the same
+                    # reason as ICPSLAM (orthonormality error compounds
+                    # exponentially through the delta feedback chain)
                     pred = (
-                        compose_transformations(prev_delta, prev_pose)
+                        orthonormalize_rotations(
+                            compose_transformations(prev_delta, prev_pose)
+                        )
                         if cv else prev_pose
                     )
                     pose = localize(st, pred, s_loc, s_valid)

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from ..geometry.geometryutils import (
     compose_transformations,
     inverse_transformation,
+    orthonormalize_rotations,
 )
 from ..odometry.gradicp import GradICPOdometryProvider
 from ..odometry.icp import ICPOdometryProvider
@@ -506,10 +507,12 @@ class ICPSLAM:
     def _step_impl(self, pointclouds, live_frame, prev_frame, prev_transform=None):
         if prev_transform is not None:
             # constant-velocity prior: solve from (and project the
-            # association window at) the predicted camera
-            pred = compose_transformations(
+            # association window at) the predicted camera. Re-projected onto
+            # SO(3) exactly like the scanned forward (orthonormality error
+            # otherwise compounds exponentially across step() calls).
+            pred = orthonormalize_rotations(compose_transformations(
                 jnp.asarray(prev_transform), prev_frame.poses[:, 0]
-            )
+            ))
             prev_frame = prev_frame.with_poses(pred[:, None])
         poses = self._localize(pointclouds, live_frame, prev_frame)
         live_frame = live_frame.with_poses(poses)
@@ -590,8 +593,13 @@ class ICPSLAM:
             # updates it — serves as both arguments. There is no
             # previous-frame imagery in the carry, unlike the reference's
             # frame pairs.
+            # the CV composition chain pose @ inv(prev) @ pose DOUBLES f32
+            # rotation orthonormality error per frame (det(R) reaches O(10)
+            # by frame ~20, then overflows) — re-project onto SO(3)
             pred = (
-                compose_transformations(prev_delta, prev_pose)
+                orthonormalize_rotations(
+                    compose_transformations(prev_delta, prev_pose)
+                )
                 if cv else prev_pose
             )
             live = RGBDImages(

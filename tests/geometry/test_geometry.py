@@ -117,6 +117,36 @@ class TestGeometryUtils:
             np.asarray(compose_transformations(T, Tinv)), np.eye(4), atol=1e-5
         )
 
+    def test_orthonormalize_rotations(self):
+        from gradslam_tpu.geometry import orthonormalize_rotations
+
+        T = random_se3(jax.random.PRNGKey(7))
+        # already-orthonormal input is (numerically) a fixed point
+        T_fix = orthonormalize_rotations(T)
+        np.testing.assert_allclose(np.asarray(T_fix), np.asarray(T), atol=1e-6)
+        # a drifted rotation (the CV-carry failure mode: det(R) creeping off
+        # 1 through repeated f32 compositions) is pulled back onto SO(3)
+        T_bad = np.array(T)
+        T_bad[:3, :3] *= 1.01  # det 1.03, |R R^T - I| ~ 0.02
+        T_good = np.asarray(orthonormalize_rotations(jnp.asarray(T_bad)))
+        R = T_good[:3, :3]
+        # ONE Newton step is quadratic: a 3% orthonormality error drops to
+        # ~1e-3; in the CV carry the pre-projection error is ~2x f32 eps per
+        # frame so the projected error stays at the eps noise floor
+        assert abs(np.linalg.det(R) - 1) < 1e-3
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-3)
+        before = np.abs(T_bad[:3, :3] @ T_bad[:3, :3].T - np.eye(3)).max()
+        after = np.abs(R @ R.T - np.eye(3)).max()
+        assert after < 0.05 * before, (before, after)
+        # translation untouched
+        np.testing.assert_allclose(T_good[:3, 3], T_bad[:3, 3])
+        # batched + validation
+        batch = jnp.stack([T, jnp.asarray(T_bad)])
+        out = orthonormalize_rotations(batch)
+        assert out.shape == (2, 4, 4)
+        with pytest.raises(ValueError):
+            orthonormalize_rotations(jnp.eye(3))
+
     def test_relative_transformation(self):
         k1, k2 = jax.random.split(jax.random.PRNGKey(1))
         T1, T2 = random_se3(k1), random_se3(k2)

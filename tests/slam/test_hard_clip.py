@@ -1,12 +1,16 @@
 """Hard accuracy clip (VERDICT r2 #4): on a noisy/fast-motion/outlier clip,
 plain least-squares visibly degrades and the robust configuration recovers.
 
-Tuning measurements (120x160, 10 frames, CPU, 2026-08-18; the committed
-bench configs in scripts/bench_all.py run the same sweep at 320x240 x 30
-frames on TPU): plain 83 mm ATE, huber 79, tukey 52, pyramid 115,
-cv 270 (outlier error feedback), cv+tukey 12 mm — a 7x spread in favor of
-the robust + motion-model configuration. The regression guard below holds
-~2x headroom on those numbers.
+Tuning measurements (120x160, 30 frames, CPU, 2026-08-19, after the
+motion-model/robust-step fixes below; the committed bench configs in
+scripts/bench_all.py run the same sweep at 160x120 x 30 frames on TPU):
+plain ~0.35 m ATE, cv+tukey 127 mm, cv+tukey scale=0.03 25.5 mm,
+cv+tukey scale=0.03 dist_thresh=0.01 **19.2 mm** — an 18x spread in favor
+of the tuned robust + motion-model configuration. At 320x240 the same clip
+defeats every configuration from frame 1 (~0.35 m across the board; the
+finer ds-pitch makes wrong associations look like inliers) — that regime
+needs relocalization, not robust weighting, and is documented rather than
+benched.
 """
 
 import jax.numpy as jnp
@@ -64,10 +68,74 @@ class TestHardSequence:
         np.testing.assert_allclose(poses_h[:, :1], poses_e[:, :1])
 
 
+class TestMotionModelStability:
+    """Regression guards for two pose-runaway bugs found via the 30-frame
+    hard-clip bench (2026-08-19):
+
+    1. the CV carry's ``pose @ inv(prev) @ pose`` composition chain DOUBLES
+       f32 rotation orthonormality error per frame (~2.4^k growth): det(R)
+       visibly drifts by frame ~13 and overflows to NaN by frame ~25 even
+       with PERFECT tracking — fixed by re-projecting the predicted pose
+       onto SO(3) (geometry.orthonormalize_rotations);
+    2. with a hard-rejecting robust kernel, a drifted initialization zeroes
+       (almost) every IRLS weight, the damped 6x6 normal equations go
+       near-singular, and gradICP applies the unbounded garbage step
+       unconditionally — fixed by the displacement trust region + inlier
+       mass fade (icputils._guard_robust_step).
+    """
+
+    @pytest.mark.slow
+    def test_cv_long_horizon_stays_orthonormal(self):
+        # 40 frames of the EASY clip: pre-fix this NaN'd around frame ~25-35
+        # purely numerically (no outliers involved)
+        B, L, H, W = 1, 40, 60, 80
+        rgb, d, K, poses = synthetic_sequence(B, L, H, W)
+        frames = RGBDImages(
+            jnp.asarray(rgb), jnp.asarray(d), jnp.asarray(K),
+            jnp.asarray(poses),
+        )
+        slam = PointFusion(odom="gradicp", dsratio=4, numiters=4,
+                           motion_model="constant_velocity",
+                           map_capacity=L * H * W)
+        _, op = slam(frames)
+        op = np.asarray(op)[0]
+        assert np.isfinite(op).all()
+        dets = np.linalg.det(op[:, :3, :3])
+        np.testing.assert_allclose(dets, 1.0, atol=1e-4)
+        ate = float(ate_rmse(jnp.asarray(op), frames.poses[0]))
+        assert ate < 0.005, ate
+
+    def test_robust_step_guard_bounds_degenerate_solve(self):
+        # an initialization far outside the tukey band used to produce an
+        # unbounded step from the near-singular weighted system; the guard
+        # must keep the applied motion within the trust radius
+        from gradslam_tpu.odometry.icputils import point_to_plane_gradICP
+
+        rng = np.random.RandomState(0)
+        xs, ys = np.meshgrid(np.linspace(0, 1, 40), np.linspace(0, 1, 40))
+        tgt = np.stack(
+            [xs.ravel(), ys.ravel(), 0.1 * np.sin(5 * xs.ravel())], -1
+        ).astype(np.float32)
+        n = np.tile(np.asarray([0, 0, 1], np.float32), (tgt.shape[0], 1))
+        src = tgt + np.asarray([0, 0, 2.0], np.float32)  # 2 m off: all outliers
+        T, _ = point_to_plane_gradICP(
+            jnp.asarray(src), jnp.asarray(tgt), jnp.asarray(n),
+            numiters=10, robust_loss="tukey", robust_scale=0.05,
+        )
+        T = np.asarray(T)
+        assert np.isfinite(T).all()
+        # total applied motion is bounded by numiters * trust radius (0.5 m)
+        assert np.linalg.norm(T[:3, 3]) < 10 * 0.5 + 1e-3
+        np.testing.assert_allclose(np.linalg.det(T[:3, :3]), 1.0, atol=1e-4)
+
+
 class TestHardClipRobustness:
     @pytest.mark.slow
     def test_robust_cv_config_beats_plain(self):
-        B, L, H, W = 1, 10, 120, 160
+        # 30 frames: long enough that the pre-fix CV carry would have
+        # diverged to NaN (~frame 18) — this now regression-guards the
+        # orthonormality + robust-step fixes AND the accuracy spread
+        B, L, H, W = 1, 30, 120, 160
         rgb, d, K, poses = hard_sequence(B, L, H, W)
         frames = RGBDImages(
             jnp.asarray(rgb), jnp.asarray(d), jnp.asarray(K),
@@ -82,10 +150,12 @@ class TestHardClipRobustness:
 
         robust = PointFusion(odom="gradicp", dsratio=4, numiters=10,
                              motion_model="constant_velocity",
-                             robust_loss="tukey", map_capacity=cap)
+                             robust_loss="tukey", robust_scale=0.03,
+                             dist_thresh=0.01, map_capacity=cap)
         _, op_rob = robust(frames)
         ate_rob = float(ate_rmse(op_rob[0], frames.poses[0]))
 
-        # measured 2026-08-18: plain 83.4 mm, cv+tukey 12.0 mm
-        assert ate_rob < 0.025, f"robust config regressed: {ate_rob}"
-        assert ate_plain > 2 * ate_rob, (ate_plain, ate_rob)
+        # measured 2026-08-19: plain ~0.35 m, tuned cv+tukey 19.2 mm
+        assert np.isfinite(ate_rob), "robust tracker diverged"
+        assert ate_rob < 0.04, f"robust config regressed: {ate_rob}"
+        assert ate_plain > 5 * ate_rob, (ate_plain, ate_rob)
