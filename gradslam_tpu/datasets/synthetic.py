@@ -18,6 +18,43 @@ from .base import RGBDSequenceDataset
 __all__ = ["SyntheticRGBD", "hard_sequence", "synthetic_sequence"]
 
 
+def _render_depth(H, W, fx, cx, cy, tx, tz):
+    # Solve z_c s.t. the camera ray hits the world surface
+    # z_w(x_w, y_w) = 1.5 + 0.05 sin(x_w / 0.2) + 0.04 cos(y_w / 0.15)
+    # with the camera at (tx, 0, tz); fixed-point iteration suffices for
+    # this gentle relief. Shared by the easy and hard clip generators so
+    # the two scenes stay geometrically identical (test_easy_clip_unchanged
+    # depends on that).
+    ys, xs = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    z = np.full((H, W), 1.5, dtype=np.float64)
+    for _ in range(4):
+        x_w = (xs - cx) / fx * z + tx
+        y_w = (ys - cy) / fx * z
+        z = (1.5 + 0.05 * np.sin(x_w / 0.2) + 0.04 * np.cos(y_w / 0.15)) - tz
+    return z
+
+
+def _camera_model(H, W, B):
+    """Shared pinhole model: (fx, cx, cy, tiled (B,1,4,4) intrinsics)."""
+    fx = 0.8 * W
+    cx, cy = (W - 1) / 2.0, (H - 1) / 2.0
+    K = np.eye(4, dtype=np.float32)
+    K[0, 0] = K[1, 1] = fx
+    K[0, 2], K[1, 2] = cx, cy
+    return fx, cx, cy, np.tile(K, (B, 1, 1, 1))
+
+
+def _pan_poses(translations, B):
+    """(B, L, 4, 4) x/z-pan camera poses from per-frame (tx, tz) pairs."""
+    poses = []
+    for tx, tz in translations:
+        P = np.eye(4, dtype=np.float32)
+        P[0, 3] = tx
+        P[2, 3] = tz
+        poses.append(P)
+    return np.tile(np.stack(poses), (B, 1, 1, 1))
+
+
 def synthetic_sequence(
     B: int, L: int, H: int, W: int, seed: int = 0, speed: float = 1.0
 ):
@@ -32,42 +69,17 @@ def synthetic_sequence(
     intrinsics (B,1,4,4), poses (B,L,4,4))``, all float32.
     """
     rng = np.random.RandomState(seed)
-    fx = 0.8 * W
-    cx, cy = (W - 1) / 2.0, (H - 1) / 2.0
-    ys, xs = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
-
-    def render_depth(tx, tz):
-        # Solve z_c s.t. the camera ray hits the world surface
-        # z_w(x_w, y_w) = 1.5 + 0.05 sin(x_w / 0.2) + 0.04 cos(y_w / 0.15)
-        # with the camera at (tx, 0, tz); fixed-point iteration suffices for
-        # this gentle relief.
-        z = np.full((H, W), 1.5, dtype=np.float64)
-        for _ in range(4):
-            x_w = (xs - cx) / fx * z + tx
-            y_w = (ys - cy) / fx * z
-            z = (1.5 + 0.05 * np.sin(x_w / 0.2) + 0.04 * np.cos(y_w / 0.15)) - tz
-        return z
-
+    fx, cx, cy, intrinsics = _camera_model(H, W, B)
+    cam_ts = [(0.005 * speed * s, 0.002 * speed * s) for s in range(L)]
     depths = np.stack(
         [
-            render_depth(0.005 * speed * s, 0.002 * speed * s)
-            + 0.0002 * rng.rand(H, W)
-            for s in range(L)
+            _render_depth(H, W, fx, cx, cy, tx, tz) + 0.0002 * rng.rand(H, W)
+            for tx, tz in cam_ts
         ]
         * B
     ).reshape(B, L, H, W, 1).astype(np.float32)
     rgb = rng.rand(B, L, H, W, 3).astype(np.float32)
-    K = np.eye(4, dtype=np.float32)
-    K[0, 0] = K[1, 1] = fx
-    K[0, 2], K[1, 2] = cx, cy
-    intrinsics = np.tile(K, (B, 1, 1, 1))
-    poses = []
-    for s in range(L):
-        P = np.eye(4, dtype=np.float32)
-        P[0, 3] = 0.005 * speed * s
-        P[2, 3] = 0.002 * speed * s
-        poses.append(P)
-    poses = np.tile(np.stack(poses), (B, 1, 1, 1))
+    poses = _pan_poses(cam_ts, B)
     return rgb, depths, intrinsics, poses
 
 
@@ -106,28 +118,18 @@ def hard_sequence(
     contract as :func:`synthetic_sequence`.
     """
     rng = np.random.RandomState(seed)
-    fx = 0.8 * W
-    cx, cy = (W - 1) / 2.0, (H - 1) / 2.0
-    ys, xs = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    fx, cx, cy, intrinsics = _camera_model(H, W, B)
 
     # accelerating camera: s + 0.3*sin(s/2) modulation on the frame index
     def cam_t(s):
         u = s + 0.3 * np.sin(s / 2.0)
         return 0.005 * speed * u, 0.002 * speed * u
 
-    def render_depth(tx, tz):
-        z = np.full((H, W), 1.5, dtype=np.float64)
-        for _ in range(4):
-            x_w = (xs - cx) / fx * z + tx
-            y_w = (ys - cy) / fx * z
-            z = (1.5 + 0.05 * np.sin(x_w / 0.2) + 0.04 * np.cos(y_w / 0.15)) - tz
-        return z
-
     depths = np.empty((B, L, H, W, 1), dtype=np.float32)
     for b in range(B):
         for s in range(L):
             tx, tz = cam_t(s)
-            z = render_depth(tx, tz)
+            z = _render_depth(H, W, fx, cx, cy, tx, tz)
             z = z + noise_sigma * rng.randn(H, W)
             # frame-inconsistent outlier patches: ~8 random rectangles
             # sized so their union covers ~outlier_frac of the image
@@ -144,18 +146,7 @@ def hard_sequence(
                     )
             depths[b, s, ..., 0] = z.astype(np.float32)
     rgb = rng.rand(B, L, H, W, 3).astype(np.float32)
-    K = np.eye(4, dtype=np.float32)
-    K[0, 0] = K[1, 1] = fx
-    K[0, 2], K[1, 2] = cx, cy
-    intrinsics = np.tile(K, (B, 1, 1, 1))
-    poses = []
-    for s in range(L):
-        tx, tz = cam_t(s)
-        P = np.eye(4, dtype=np.float32)
-        P[0, 3] = tx
-        P[2, 3] = tz
-        poses.append(P)
-    poses = np.tile(np.stack(poses), (B, 1, 1, 1))
+    poses = _pan_poses([cam_t(s) for s in range(L)], B)
     return rgb, depths, intrinsics, poses
 
 

@@ -29,9 +29,6 @@ REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.dirname(__file__))
 
-CLIP_KW = dict(B=1, seed=0)
-
-
 def run_reference(rgb, depths, intrinsics, poses, odom, dsratio, numiters):
     import reference_shim
 

@@ -66,9 +66,14 @@ def child(pid: int, nproc: int, local_devices: int, port: int) -> None:
     assert n == nproc * local_devices, (n, nproc, local_devices)
     assert jax.process_count() == nproc
 
-    # ---- path 1: GSPMD dp x mp train step, batch sharded across processes
-    mesh = Mesh(np.asarray(devices).reshape(n // 2, 2), ("dp", "mp"))
-    B, L, H, W = n // 2, 2, 16, 24
+    # ---- path 1: GSPMD dp x mp train step, batch sharded across processes.
+    # dp == nproc so every process owns exactly one mesh row: the per-process
+    # batch split below matches device ownership for ANY (nproc,
+    # local_devices) — with dp derived from n//2 instead, local_devices=1
+    # gave rows_per_proc=0 and the step silently ran on an EMPTY batch.
+    mesh = Mesh(np.asarray(devices).reshape(nproc, local_devices),
+                ("dp", "mp"))
+    B, L, H, W = nproc, 2, 16, 24
     rgb, depths, intrinsics, poses = synthetic_sequence(B, L, H, W)
 
     slam = PointFusion(odom="gradicp", dsratio=2, numiters=2, use_jit=False)
@@ -86,6 +91,7 @@ def child(pid: int, nproc: int, local_devices: int, port: int) -> None:
 
     bsh = NamedSharding(mesh, P("dp"))
     rows_per_proc = B // nproc
+    assert rows_per_proc >= 1 and B % nproc == 0, (B, nproc)
 
     def to_global(a):
         local = a[pid * rows_per_proc:(pid + 1) * rows_per_proc]
@@ -96,6 +102,9 @@ def child(pid: int, nproc: int, local_devices: int, port: int) -> None:
     step = jax.jit(train_step, in_shardings=(bsh,) * 4)
     loss, (g_depth, g_intr) = step(*args)
     assert np.isfinite(float(loss)), "loss not finite"
+    # a zero loss means the global batch was empty (mis-split feeding) —
+    # the synthetic scene always yields nonzero map energy
+    assert float(loss) > 0, "train step saw an empty batch (loss == 0)"
     for g in (g_depth, g_intr):  # only local shards are addressable
         for s in g.addressable_shards:
             assert np.all(np.isfinite(np.asarray(s.data))), "grad not finite"

@@ -72,6 +72,25 @@ def pytest_runtest_makereport(item, call):
         )
 
 
+def pytest_collectreport(report):
+    """Collection-level skips (module-level ``pytest.skip(...,
+    allow_module_level=True)`` / ``pytest.importorskip``) never reach
+    ``pytest_runtest_makereport`` — audit them here too, else a whole dead
+    module slips past the allowlist."""
+    if not report.skipped:
+        return
+    reason = (report.longrepr[2] if isinstance(report.longrepr, tuple)
+              else str(report.longrepr))
+    reason = reason.removeprefix("Skipped: ")
+    if not any(re.search(p, reason) for p in SKIP_REASON_ALLOWLIST):
+        report.outcome = "failed"
+        report.longrepr = (
+            f"unexpected module-level skip reason: {reason!r}\n"
+            "Skip reasons must match tests/conftest.py "
+            "SKIP_REASON_ALLOWLIST (skip-audit; VERDICT r2 #8)."
+        )
+
+
 def pytest_terminal_summary(terminalreporter, exitstatus, config):
     skipped = terminalreporter.stats.get("skipped", [])
     if not skipped:

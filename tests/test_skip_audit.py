@@ -42,6 +42,44 @@ def test_unexpected_skip_reason_fails(tmp_path):
     assert "unexpected skip reason" in r.stdout
 
 
+def test_unexpected_module_level_skip_fails(tmp_path):
+    # module-level skips bypass pytest_runtest_makereport entirely; the
+    # pytest_collectreport hook must catch them (this is the exact shape of
+    # the reference's dead dataset tests)
+    r = _run_pytest(
+        tmp_path,
+        """
+        import pytest
+
+        pytest.skip("dataset not found at G:/Datasets/TUM",
+                    allow_module_level=True)
+
+        def test_dead():
+            pass
+        """,
+    )
+    assert r.returncode != 0, r.stdout + r.stderr
+    assert "unexpected module-level skip reason" in r.stdout
+
+
+def test_allowlisted_module_level_skip_passes(tmp_path):
+    r = _run_pytest(
+        tmp_path,
+        """
+        import pytest
+
+        pytest.skip("needs 8 (virtual) devices",
+                    allow_module_level=True)
+
+        def test_gated():
+            pass
+        """,
+    )
+    # rc 5 = "no tests collected": the only module skipped, which is fine
+    assert r.returncode in (0, 5), r.stdout + r.stderr
+    assert "unexpected" not in r.stdout
+
+
 def test_allowlisted_skip_reason_passes(tmp_path):
     r = _run_pytest(
         tmp_path,
