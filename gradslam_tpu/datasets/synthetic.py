@@ -9,6 +9,7 @@ available (CI, smoke tests, demos).
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Optional
 
 import numpy as np
@@ -18,6 +19,11 @@ from .base import RGBDSequenceDataset
 __all__ = ["SyntheticRGBD", "hard_sequence", "synthetic_sequence"]
 
 
+@lru_cache(maxsize=8)
+def _pixel_grids(H, W):
+    return np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+
+
 def _render_depth(H, W, fx, cx, cy, tx, tz):
     # Solve z_c s.t. the camera ray hits the world surface
     # z_w(x_w, y_w) = 1.5 + 0.05 sin(x_w / 0.2) + 0.04 cos(y_w / 0.15)
@@ -25,7 +31,7 @@ def _render_depth(H, W, fx, cx, cy, tx, tz):
     # this gentle relief. Shared by the easy and hard clip generators so
     # the two scenes stay geometrically identical (test_easy_clip_unchanged
     # depends on that).
-    ys, xs = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    ys, xs = _pixel_grids(H, W)
     z = np.full((H, W), 1.5, dtype=np.float64)
     for _ in range(4):
         x_w = (xs - cx) / fx * z + tx

@@ -193,7 +193,16 @@ _MIN_INLIER_MASS = 12.0  # two constraints per DOF of the 6-vector solve
 _TRUST_RADIUS_SCALES = 10.0  # max |xi| per iteration, in robust_scale units
 
 
-def _guard_robust_step(xi, A, robust_scale, src_pc):
+def _safe_sqrt(sq):
+    """sqrt with a zero-safe GRADIENT: ``d sqrt/dx -> inf`` at exactly 0, so
+    a plain sqrt NaN-poisons the backward whenever the guard's target
+    scenario (all weights zero => xi == 0) occurs inside a differentiated
+    program. Double-``where`` keeps the gradient 0 there (design.md §5)."""
+    safe = jnp.where(sq > 0, sq, 1.0)
+    return jnp.where(sq > 0, jnp.sqrt(safe), 0.0)
+
+
+def _guard_robust_step(xi, A, robust_scale, src_pc, src_mask):
     r"""Step guard for robust solves: bound + fade the solved update.
 
     A hard-rejecting kernel (tukey) can zero (or nearly zero) EVERY row of
@@ -208,29 +217,47 @@ def _guard_robust_step(xi, A, robust_scale, src_pc):
     Two composable guards, both exactly 1.0 for healthy solves so
     trajectories are bit-identical away from the failure regime:
 
-    - displacement trust region: the worst-case POINT MOTION of the step,
-      ``|v| + |omega| * r_max`` (the twist acts about the origin of the
-      cloud's coordinate frame, so rotations carry an ``r_max`` lever arm —
-      a 0.3 rad twist moves a cloud 3 m from the origin by ~1 m; clamping
-      the raw twist norm does NOT bound the motion), is capped at
-      ``_TRUST_RADIUS_SCALES * robust_scale``. Surviving rows have
-      residuals ``<= robust_scale`` by construction, so a step orders of
-      magnitude beyond the band is inconsistent with the data that
-      produced it (healthy steps are well under the band width);
+    - displacement trust region: the worst-case POINT MOTION of the step is
+      capped at ``_TRUST_RADIUS_SCALES * robust_scale``. The twist acts
+      about the origin of the cloud's coordinate frame, so clamping the raw
+      twist norm would NOT bound the motion (the rotation lever arm is the
+      cloud's distance from the origin). Decomposing about the cloud
+      centroid ``c`` makes the bound origin-independent:
+      ``v + w x p = (v + w x c) + w x (p - c)``, so
+      ``max_p |dp| <= |v + w x c| + |w| * r_spread`` with ``r_spread`` the
+      cloud's radius about its own centroid (scene-scale, NOT distance from
+      the world origin — a tracked camera far from the origin still gets
+      full-size rotation corrections). Surviving rows have residuals
+      ``<= robust_scale`` by construction, so a step orders of magnitude
+      beyond the band is inconsistent with the data that produced it;
     - inlier-mass fade: for unit(ish) normals each surviving row's first
       three columns carry its IRLS weight (``w * |n|^2``), so
       ``sum(A[:, :3]**2)`` is the effective inlier mass; below
-      ``_MIN_INLIER_MASS`` rows' worth the step fades linearly to zero — a
-      lost tracker coasts on its prior instead of chasing noise.
+      ``min(_MIN_INLIER_MASS, N/2)`` rows' worth (relative floor so
+      legitimately small clouds keep their full step) the step fades
+      linearly to zero — a lost tracker coasts on its prior instead of
+      chasing noise.
     """
+    mass_floor = min(_MIN_INLIER_MASS, 0.5 * src_pc.shape[0])
     wmass = jnp.sum(A[:, :3] ** 2)
-    fade = jnp.minimum(1.0, wmass / _MIN_INLIER_MASS)
+    fade = jnp.minimum(1.0, wmass / mass_floor)
     radius = _TRUST_RADIUS_SCALES * robust_scale
     xi_flat = xi.reshape(-1)
     v, omega = xi_flat[:3], xi_flat[3:]
-    r_max = jnp.sqrt(jnp.max(jnp.sum(src_pc * src_pc, axis=-1)))
-    disp = jnp.sqrt(jnp.sum(v * v)) + jnp.sqrt(jnp.sum(omega * omega)) * r_max
-    trust = jnp.minimum(1.0, radius / jnp.maximum(disp, 1e-30))
+    if src_mask is None:
+        c = jnp.mean(src_pc, axis=0)
+        r2 = jnp.max(jnp.sum((src_pc - c) ** 2, axis=-1))
+    else:
+        m = src_mask.astype(src_pc.dtype)[:, None]
+        cnt = jnp.maximum(jnp.sum(m), 1.0)
+        c = jnp.sum(src_pc * m, axis=0) / cnt
+        r2 = jnp.max(jnp.sum(((src_pc - c) * m) ** 2, axis=-1))
+    disp = (_safe_sqrt(jnp.sum((v + jnp.cross(omega, c)) ** 2))
+            + _safe_sqrt(jnp.sum(omega * omega)) * _safe_sqrt(r2))
+    # == min(1, radius/disp), but with the divisor bounded below by radius:
+    # dividing by a tiny clamp makes the division's BACKWARD (-radius/x^2)
+    # overflow to inf, and 0 * inf = NaN poisons the whole grad
+    trust = radius / jnp.maximum(disp, radius)
     return xi * (fade * trust)
 
 
@@ -315,7 +342,8 @@ def point_to_plane_ICP(
         A, b, idx = gn(state.src_pc)
         xi = solve_linear_system(A, b, state.damp)
         if robust_loss is not None:  # see _guard_robust_step
-            xi = _guard_robust_step(xi, A, robust_scale, state.src_pc)
+            xi = _guard_robust_step(xi, A, robust_scale, state.src_pc,
+                                     src_mask)
         residual_transform = se3_exp(xi)
         err = jnp.sum(b * b)
         one_step_pc = transform_pointcloud(state.src_pc, residual_transform)
@@ -391,7 +419,8 @@ def point_to_plane_gradICP(
         A, b, idx = gn(state.src_pc)
         xi = solve_linear_system(A, b, state.damp)
         if robust_loss is not None:  # see _guard_robust_step
-            xi = _guard_robust_step(xi, A, robust_scale, state.src_pc)
+            xi = _guard_robust_step(xi, A, robust_scale, state.src_pc,
+                                     src_mask)
         residual_transform = se3_exp(xi)
         err = jnp.sum(b * b)
         one_step_pc = transform_pointcloud(state.src_pc, residual_transform)

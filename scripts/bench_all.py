@@ -253,9 +253,9 @@ def run(out_path=None):
                           robust_loss="tukey")),
         # tuned production config: CPU sweep 2026-08-19 over scale/dist_thresh/
         # pyramid/prune combos — 19 mm vs plain's ~350 mm over 30 frames
-        ("cv+tukey s.03 dt.1", dict(motion_model="constant_velocity",
-                                    robust_loss="tukey", robust_scale=0.03,
-                                    dist_thresh=0.01)),
+        ("cv+tukey tuned s=0.03 dt=0.01", dict(
+            motion_model="constant_velocity", robust_loss="tukey",
+            robust_scale=0.03, dist_thresh=0.01)),
     ]
     for name, kw in hard_cfgs:
         kw = dict(kw)

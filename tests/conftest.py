@@ -50,26 +50,32 @@ SKIP_REASON_ALLOWLIST = [
 ]
 
 
-@pytest.hookimpl(hookwrapper=True)
-def pytest_runtest_makereport(item, call):
-    outcome = yield
-    report = outcome.get_result()
+def _skip_reason(report) -> str:
+    reason = (report.longrepr[2] if isinstance(report.longrepr, tuple)
+              else str(report.longrepr))
+    return reason.removeprefix("Skipped: ")
+
+
+def _audit_skip(report, label: str) -> None:
+    """Turn a skip whose reason is not allowlisted into a failure (shared by
+    the test-level and collection-level hooks)."""
     if not report.skipped:
         return
-    reason = ""
-    if isinstance(report.longrepr, tuple):
-        reason = report.longrepr[2]
-    else:  # pragma: no cover - defensive
-        reason = str(report.longrepr)
-    reason = reason.removeprefix("Skipped: ")
+    reason = _skip_reason(report)
     if not any(re.search(p, reason) for p in SKIP_REASON_ALLOWLIST):
         report.outcome = "failed"
         report.longrepr = (
-            f"unexpected skip reason: {reason!r}\n"
+            f"unexpected {label}skip reason: {reason!r}\n"
             "Skip reasons must match tests/conftest.py "
             "SKIP_REASON_ALLOWLIST (skip-audit; VERDICT r2 #8) so that "
             "permanently-dead tests cannot accumulate silently."
         )
+
+
+@pytest.hookimpl(hookwrapper=True)
+def pytest_runtest_makereport(item, call):
+    outcome = yield
+    _audit_skip(outcome.get_result(), "")
 
 
 def pytest_collectreport(report):
@@ -77,18 +83,7 @@ def pytest_collectreport(report):
     allow_module_level=True)`` / ``pytest.importorskip``) never reach
     ``pytest_runtest_makereport`` — audit them here too, else a whole dead
     module slips past the allowlist."""
-    if not report.skipped:
-        return
-    reason = (report.longrepr[2] if isinstance(report.longrepr, tuple)
-              else str(report.longrepr))
-    reason = reason.removeprefix("Skipped: ")
-    if not any(re.search(p, reason) for p in SKIP_REASON_ALLOWLIST):
-        report.outcome = "failed"
-        report.longrepr = (
-            f"unexpected module-level skip reason: {reason!r}\n"
-            "Skip reasons must match tests/conftest.py "
-            "SKIP_REASON_ALLOWLIST (skip-audit; VERDICT r2 #8)."
-        )
+    _audit_skip(report, "module-level ")
 
 
 def pytest_terminal_summary(terminalreporter, exitstatus, config):
@@ -98,12 +93,7 @@ def pytest_terminal_summary(terminalreporter, exitstatus, config):
     terminalreporter.write_sep("-", "skip audit (allowlisted reasons)")
     reasons = {}
     for rep in skipped:
-        reason = rep.longrepr[2] if isinstance(rep.longrepr, tuple) else str(
-            rep.longrepr
-        )
-        reasons.setdefault(reason.removeprefix("Skipped: "), []).append(
-            rep.nodeid
-        )
+        reasons.setdefault(_skip_reason(rep), []).append(rep.nodeid)
     for reason, nodes in sorted(reasons.items()):
         terminalreporter.write_line(f"{len(nodes):3d}x {reason}")
 

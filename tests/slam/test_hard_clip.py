@@ -13,6 +13,7 @@ needs relocalization, not robust weighting, and is documented rather than
 benched.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -105,28 +106,57 @@ class TestMotionModelStability:
         ate = float(ate_rmse(jnp.asarray(op), frames.poses[0]))
         assert ate < 0.005, ate
 
-    def test_robust_step_guard_bounds_degenerate_solve(self):
-        # an initialization far outside the tukey band used to produce an
-        # unbounded step from the near-singular weighted system; the guard
-        # must keep the applied motion within the trust radius
-        from gradslam_tpu.odometry.icputils import point_to_plane_gradICP
-
+    @staticmethod
+    def _degenerate_pair():
+        """All-outlier frame plus 4 NEAR-COLLINEAR in-band points: the
+        weighted normal equations are near-singular with a NONZERO right
+        hand side, so the unguarded damped solve takes a large step
+        (measured |t| = 0.75 m over 10 iters vs 0.01 m guarded). A purely
+        all-outlier frame would be a vacuous check — every weight is
+        exactly zero there, A = b = 0, and even the unguarded solve
+        returns xi = 0."""
         rng = np.random.RandomState(0)
-        xs, ys = np.meshgrid(np.linspace(0, 1, 40), np.linspace(0, 1, 40))
+        xs, ys = np.meshgrid(np.linspace(0, 1, 30), np.linspace(0, 1, 30))
         tgt = np.stack(
-            [xs.ravel(), ys.ravel(), 0.1 * np.sin(5 * xs.ravel())], -1
+            [xs.ravel(), ys.ravel(), np.zeros(xs.size)], -1
         ).astype(np.float32)
         n = np.tile(np.asarray([0, 0, 1], np.float32), (tgt.shape[0], 1))
-        src = tgt + np.asarray([0, 0, 2.0], np.float32)  # 2 m off: all outliers
-        T, _ = point_to_plane_gradICP(
-            jnp.asarray(src), jnp.asarray(tgt), jnp.asarray(n),
-            numiters=10, robust_loss="tukey", robust_scale=0.05,
-        )
+        src = tgt + np.asarray([0, 0, 2.0], np.float32)
+        for k, x in enumerate([0.2, 0.4, 0.6, 0.8]):
+            src[k] = [x, 0.5 + 1e-4 * rng.randn(), 0.045]
+        return jnp.asarray(src), jnp.asarray(tgt), jnp.asarray(n)
+
+    def test_robust_step_guard_bounds_degenerate_solve(self):
+        from gradslam_tpu.odometry.icputils import point_to_plane_gradICP
+
+        src, tgt, n = self._degenerate_pair()
+        T, _ = point_to_plane_gradICP(src, tgt, n, numiters=10,
+                                      robust_loss="tukey", robust_scale=0.05)
         T = np.asarray(T)
         assert np.isfinite(T).all()
-        # total applied motion is bounded by numiters * trust radius (0.5 m)
-        assert np.linalg.norm(T[:3, 3]) < 10 * 0.5 + 1e-3
+        # guarded: 0.010 m; unguarded (guard monkeypatched to identity while
+        # tuning this test): 0.746 m — assert well below the unguarded level
+        assert np.linalg.norm(T[:3, 3]) < 0.1, np.linalg.norm(T[:3, 3])
         np.testing.assert_allclose(np.linalg.det(T[:3, :3]), 1.0, atol=1e-4)
+
+    def test_robust_guard_gradient_stays_finite(self):
+        # the guard's norms/trust-division must not NaN the backward when
+        # the degenerate regime it targets occurs (xi == 0, disp == 0):
+        # sqrt'(0) = inf, and dividing by a tiny clamp overflows the
+        # division's backward — both were real NaN sources
+        from gradslam_tpu.odometry.icputils import point_to_plane_gradICP
+
+        _, tgt, n = self._degenerate_pair()
+        src = tgt + jnp.asarray([0, 0, 2.0], jnp.float32)  # all-outlier
+
+        def loss(s):
+            T, _ = point_to_plane_gradICP(s, tgt, n, numiters=3,
+                                          robust_loss="tukey",
+                                          robust_scale=0.05)
+            return jnp.sum(T[:3, 3] ** 2)
+
+        g = jax.grad(loss)(src)
+        assert bool(jnp.isfinite(g).all()), "NaN gradient through the guard"
 
 
 class TestHardClipRobustness:
