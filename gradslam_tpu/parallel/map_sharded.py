@@ -240,10 +240,18 @@ class MapShardedPointFusion:
         sigma: float = 0.6,
         quantize_colors: bool = False,
         feature_channels: int = 0,
+        normal_pitch: Optional[int] = None,
         use_jit: bool = True,
     ):
         if odom not in ("gt", "icp", "gradicp"):
             raise ValueError(f"Odometry method ({odom}) not supported.")
+        if normal_pitch is not None and (
+            not isinstance(normal_pitch, int) or normal_pitch < 1
+        ):
+            raise ValueError(
+                f"normal_pitch must be None or an int >= 1. Got {normal_pitch!r}."
+            )
+        self.normal_pitch = normal_pitch
         if mesh is None:
             mesh = Mesh(np.asarray(jax.devices()), (axis_name,))
         if axis_name not in mesh.axis_names:
@@ -367,6 +375,17 @@ class MapShardedPointFusion:
         return T
 
     def _forward_impl(self, frames: RGBDImages):
+        # wider normal baseline on noisy sensors (same semantics as
+        # ICPSLAM/PointFusion(normal_pitch=...); see docs/design.md §4)
+        if (
+            self.normal_pitch is not None
+            and frames.normal_pitch != self.normal_pitch
+        ):
+            import dataclasses
+
+            frames = dataclasses.replace(
+                frames, normal_pitch=self.normal_pitch
+            )
         B, L, H, W = frames.shape
         HW = H * W
         K = self.K

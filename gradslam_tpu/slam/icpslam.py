@@ -19,6 +19,7 @@ color, and intrinsics.
 
 from __future__ import annotations
 
+import dataclasses
 import math
 import warnings
 from typing import Optional, Tuple
@@ -120,6 +121,16 @@ class ICPSLAM:
             ``forward`` only — the frame-counter lives in its scan; online
             ``step`` loops call ``prune_map`` themselves (see
             ``examples/online_slam.py``).
+        normal_pitch: finite-difference baseline (pixels) for the frames'
+            normal maps (see :class:`~gradslam_tpu.structures.RGBDImages`).
+            Depth-noise-induced normal error scales with
+            ``sigma * fx / (pitch * z)`` — it DOUBLES every time resolution
+            doubles at pitch 1, and 5 mm sensor noise is enough to break
+            point-to-plane tracking outright at 320x240 (measured: 0.34 m
+            ATE from noise alone on the hard clip; pitch 2 tracks). Rule of
+            thumb: scale the pitch with resolution (pitch ~ W/160). Default
+            None keeps the frames' own ``normal_pitch`` (1 = bit-exact
+            reference-parity normals).
         use_jit: jit-compile forward/step (disable for debugging).
         remat: apply ``jax.checkpoint`` to the scan body — end-to-end
             gradients over long sequences then rematerialise per-frame
@@ -151,6 +162,7 @@ class ICPSLAM:
         prune_every: int = 0,
         prune_min_confidence: float = 1.0,
         feature_channels: int = 0,
+        normal_pitch: Optional[int] = None,
         use_jit: bool = True,
         remat: bool = False,
     ):
@@ -198,6 +210,13 @@ class ICPSLAM:
                 f"Got {feature_channels!r}."
             )
         self.feature_channels = feature_channels
+        if normal_pitch is not None and (
+            not isinstance(normal_pitch, int) or normal_pitch < 1
+        ):
+            raise ValueError(
+                f"normal_pitch must be None or an int >= 1. Got {normal_pitch!r}."
+            )
+        self.normal_pitch = normal_pitch
         self.pyramid = validate_pyramid(pyramid)
         validate_robust(robust_loss, robust_scale)
         self.robust_loss = robust_loss
@@ -504,7 +523,18 @@ class ICPSLAM:
             transform[:, 0], prev_frame.poses[:, 0]
         )[:, None]
 
+    def _with_normal_pitch(self, frames: RGBDImages) -> RGBDImages:
+        """Apply the pipeline's ``normal_pitch`` override (None = keep the
+        frames' own pitch, default 1 = reference-parity normals)."""
+        if (
+            self.normal_pitch is None
+            or frames.normal_pitch == self.normal_pitch
+        ):
+            return frames
+        return dataclasses.replace(frames, normal_pitch=self.normal_pitch)
+
     def _step_impl(self, pointclouds, live_frame, prev_frame, prev_transform=None):
+        live_frame = self._with_normal_pitch(live_frame)
         if prev_transform is not None:
             # constant-velocity prior: solve from (and project the
             # association window at) the predicted camera. Re-projected onto
@@ -520,6 +550,7 @@ class ICPSLAM:
         return pointclouds, poses
 
     def _forward_impl(self, frames: RGBDImages):
+        frames = self._with_normal_pitch(frames)
         B, L, H, W = frames.shape
         schedule = self._capacity_schedule(frames)
         map_pc = self._empty_map(B, schedule[0][1])
@@ -540,6 +571,7 @@ class ICPSLAM:
                 live = RGBDImages(
                     rgb[:, None], depth[:, None], intrinsics, pose[:, None],
                     feature_image=xs[4][:, None] if hf else None,
+                    normal_pitch=frames.normal_pitch,
                 )
                 return self._maybe_prune(self._map(map_pc, live), idx), pose
 
@@ -605,6 +637,7 @@ class ICPSLAM:
             live = RGBDImages(
                 rgb[:, None], depth[:, None], intrinsics, pred[:, None],
                 feature_image=xs[3][:, None] if hf else None,
+                normal_pitch=frames.normal_pitch,
             )
             poses = self._localize(map_pc, live, live)  # (B, 1, 4, 4)
             live = live.with_poses(poses)

@@ -57,6 +57,7 @@ class PointFusion(ICPSLAM):
         feature_channels: int = 0,
         prune_every: int = 0,
         prune_min_confidence: float = 1.0,
+        normal_pitch: Optional[int] = None,
         use_jit: bool = True,
         remat: bool = False,
     ):
@@ -93,6 +94,7 @@ class PointFusion(ICPSLAM):
             prune_every=prune_every,
             prune_min_confidence=prune_min_confidence,
             feature_channels=feature_channels,
+            normal_pitch=normal_pitch,
             use_jit=use_jit,
             remat=remat,
         )

@@ -59,6 +59,16 @@ class RGBDImages:
     # reference's positional order (rgb, depth, K, poses, channels_first)
     # keeps working.
     feature_image: Optional[jnp.ndarray] = None
+    # Finite-difference baseline (in pixels) for ``normal_map``. The
+    # reference differences ADJACENT pixels (pitch 1); with sensor depth
+    # noise the normal's angular error scales with noise/baseline =
+    # sigma * fx / (pitch * z), so it DOUBLES every time the resolution
+    # doubles. pitch=k recovers the coarser resolution's normal quality at
+    # full point density (measured on the hard clip: 5 mm depth noise at
+    # 320x240 breaks tracking entirely at pitch 1 — 0.34 m ATE from noise
+    # alone — and tracks at pitch 2+; see docs/design.md §4). Default 1 is
+    # bit-exact reference parity.
+    normal_pitch: int = dataclasses.field(default=1, metadata=dict(static=True))
 
     def __post_init__(self):
         # Migration ergonomics: accept torch tensors (converted to numpy on
@@ -71,6 +81,10 @@ class RGBDImages:
             coerced = coerce_torch(val)
             if coerced is not val:
                 object.__setattr__(self, name, coerced)
+        if not isinstance(self.normal_pitch, int) or self.normal_pitch < 1:
+            raise ValueError(
+                f"normal_pitch must be an int >= 1. Got {self.normal_pitch}."
+            )
         rgb = self.rgb_image
         if not hasattr(rgb, "ndim") or isinstance(rgb, jax.core.Tracer):
             return
@@ -355,17 +369,25 @@ class RGBDImages:
         # ~1e-8 noise where dhoriz == dverti exactly — which the cross product
         # then amplifies into garbage unit normals at degenerate pixels.
         v = jax.lax.optimization_barrier(self.vertex_map)
-        dhoriz = jnp.concatenate(
-            [v[..., 1:, :] - v[..., :-1, :], v[..., -1:, :] - v[..., -2:-1, :]],
-            axis=-2,
-        )
-        dverti = jnp.concatenate(
-            [
-                v[..., 1:, :, :] - v[..., :-1, :, :],
-                v[..., -1:, :, :] - v[..., -2:-1, :, :],
-            ],
-            axis=-3,
-        )
+        # pitch-k forward differences (k = normal_pitch, default 1 ==
+        # reference-exact adjacent-pixel differences with the last row/col
+        # diff replicated). The last k rows/cols replicate the final valid
+        # difference, which for k=1 reduces to the reference's
+        # v[-1] - v[-2] tail exactly.
+        k = self.normal_pitch
+        H, W = v.shape[-3], v.shape[-2]
+        if k >= H or k >= W:
+            raise ValueError(
+                f"normal_pitch ({k}) must be smaller than the image "
+                f"dimensions ({H}x{W})."
+            )
+
+        def _pad_tail(d, axis, n):
+            tail = jnp.take(d, jnp.full((n,), d.shape[axis] - 1), axis=axis)
+            return jnp.concatenate([d, tail], axis=axis)
+
+        dhoriz = _pad_tail(v[..., k:, :] - v[..., :-k, :], -2, k)
+        dverti = _pad_tail(v[..., k:, :, :] - v[..., :-k, :, :], -3, k)
         normal = jnp.cross(dhoriz, dverti)
         # Degenerate pixels (parallel tangents) must map to a zero normal. The
         # reference tests norm == 0 exactly (rgbdimages.py:737); under XLA, FMA

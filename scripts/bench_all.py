@@ -227,12 +227,15 @@ def run(out_path=None):
     # the robustness features earn their keep — the ate_m spread across these
     # rows IS the result (speed is secondary here). 160x120 is the reference
     # examples' own operating resolution (/root/reference/examples/
-    # pointfusion.py:46-49); at 320x240 this clip defeats EVERY config from
-    # frame 1 (~0.35 m ATE across plain/robust/cv/pyramid, swept on TPU
-    # 2026-08-19) — the denser ds-pitch makes wrong associations look like
-    # inliers, a regime beyond any non-relocalizing frame-to-map tracker.
-    # Chasing that 30-frame clip exposed and fixed two real runaway bugs
-    # (CV orthonormality doubling, unbounded robust steps — see
+    # pointfusion.py:46-49). At 320x240 this clip used to defeat EVERY
+    # config from frame 1 (~0.35 m ATE across plain/robust/cv/pyramid,
+    # swept on TPU 2026-08-19); factor isolation showed the 5 mm depth
+    # NOISE alone does it (outliers-only tracks at 3.8 mm) — the
+    # reference's pitch-1 finite-difference normals have noise/baseline
+    # ~ sigma*fx/z, which doubles with resolution. normal_pitch=2 restores
+    # the 160x120 normal SNR at 4x the pixels and tracks at 18 mm (row
+    # below). Chasing this clip also exposed and fixed two real runaway
+    # bugs (CV orthonormality doubling, unbounded robust steps — see
     # docs/design.md §4 and TestMotionModelStability).
     from gradslam_tpu.datasets import hard_sequence
 
@@ -264,6 +267,41 @@ def run(out_path=None):
         hslam = PointFusion(odom="gradicp", map_capacity=hard_cap, **kw)
         timed(f"PointFusion(gradicp, {name}) hard-clip 160x120 frames/s",
               hslam, frames, B, L, iters=2, ate=True)
+
+    # hard clip at 320x240 — tracks ONLY with the wider normal baseline
+    # (normal_pitch=2; pitch 1 is ~0.29 m here no matter the config)
+    B, L, H, W = 1, 30, 240, 320
+    rgb, depths, intrinsics, poses = hard_sequence(B, L, H, W)
+    frames = RGBDImages(
+        jnp.asarray(rgb), jnp.asarray(depths), jnp.asarray(intrinsics),
+        jnp.asarray(poses),
+    )
+    hslam = PointFusion(
+        odom="gradicp", dsratio=4, numiters=10, map_capacity=L * H * W,
+        motion_model="constant_velocity", robust_loss="tukey",
+        robust_scale=0.03, dist_thresh=0.01, normal_pitch=2,
+    )
+    timed("PointFusion(gradicp, tuned+normal_pitch=2) hard-clip 320x240 "
+          "frames/s", hslam, frames, B, L, iters=2, ate=True)
+
+    # hard clip at the NORTH-STAR 640x480: both noise knobs scale with
+    # resolution (ds ~ W/80, pitch ~ W/160; docs/design.md §4). Measured
+    # sweep (TPU 2026-08-19): ds8/pitch4 17.2 mm, ds16/pitch4 23.3 mm,
+    # ds8/pitch2 0.41 m (insufficient normal baseline), ds4/any 0.55-3.7 m
+    # (association density). Robust tracking at full resolution.
+    B, L, H, W = 1, 30, 480, 640
+    rgb, depths, intrinsics, poses = hard_sequence(B, L, H, W)
+    frames = RGBDImages(
+        jnp.asarray(rgb), jnp.asarray(depths), jnp.asarray(intrinsics),
+        jnp.asarray(poses),
+    )
+    hslam = PointFusion(
+        odom="gradicp", dsratio=8, numiters=10, map_capacity=L * H * W,
+        motion_model="constant_velocity", robust_loss="tukey",
+        robust_scale=0.03, dist_thresh=0.01, normal_pitch=4,
+    )
+    timed("PointFusion(gradicp, tuned ds8+normal_pitch=4) hard-clip 640x480 "
+          "frames/s", hslam, frames, B, L, iters=2, ate=True)
 
     # config 4: large map / long sequence (BASELINE.md #4 analogue — no
     # ScanNet data in this environment, so the same procedural scene with a

@@ -441,3 +441,39 @@ class TestTwoDMesh:
             MapShardedPointFusion(
                 map_capacity=4 * 256, mesh=mesh2d, batch_axis="nope"
             )
+
+
+class TestNormalPitchSharded:
+    def test_normal_pitch_matches_single_device(self, mesh):
+        """normal_pitch threads into the sharded pipeline's normal maps and
+        keeps single-device equality (same tracked poses + point sets)."""
+        B, L, H, W = 1, 3, 16, 24
+        frames = synthetic_frames(B, L=L, H=H, W=W)
+        cap = 8 * 256
+
+        single = PointFusion(odom="icp", dsratio=2, numiters=4,
+                             map_capacity=cap, normal_pitch=2)
+        pc_s, poses_s = single(frames)
+        sharded = MapShardedPointFusion(
+            map_capacity=cap, mesh=mesh, odom="icp", dsratio=2, numiters=4,
+            normal_pitch=2,
+        )
+        smap, poses_m = sharded(frames)
+        np.testing.assert_allclose(
+            np.asarray(poses_m), np.asarray(poses_s), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            _sorted_rows(smap.to_pointclouds().points_list[0]),
+            _sorted_rows(pc_s.points_list[0]),
+            atol=1e-5,
+        )
+        # and the pitch actually changes the map normals vs pitch-1
+        smap1, _ = MapShardedPointFusion(
+            map_capacity=cap, mesh=mesh, odom="icp", dsratio=2, numiters=4,
+        )(frames)
+        assert not np.allclose(
+            np.asarray(smap.normals), np.asarray(smap1.normals)
+        )
+        with pytest.raises(ValueError, match="normal_pitch"):
+            MapShardedPointFusion(map_capacity=cap, mesh=mesh,
+                                  normal_pitch=0)

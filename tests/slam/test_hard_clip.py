@@ -6,11 +6,17 @@ motion-model/robust-step fixes below; the committed bench configs in
 scripts/bench_all.py run the same sweep at 160x120 x 30 frames on TPU):
 plain ~0.35 m ATE, cv+tukey 127 mm, cv+tukey scale=0.03 25.5 mm,
 cv+tukey scale=0.03 dist_thresh=0.01 **19.2 mm** — an 18x spread in favor
-of the tuned robust + motion-model configuration. At 320x240 the same clip
-defeats every configuration from frame 1 (~0.35 m across the board; the
-finer ds-pitch makes wrong associations look like inliers) — that regime
-needs relocalization, not robust weighting, and is documented rather than
-benched.
+of the tuned robust + motion-model configuration.
+
+At 320x240 the same clip used to defeat every configuration from frame 1
+(~0.35 m across the board). TPU factor isolation (2026-08-19) pinned it on
+the 5 mm depth NOISE alone (outliers-only tracks at 3.8 mm; sampling pitch
+was ruled out — ds8@320x240 samples the identical 40x30 grid as the working
+ds4@160x120 and still fails): the reference's pitch-1 finite-difference
+normals have angular noise ~ sigma*fx/z, which doubles with resolution.
+``normal_pitch=2`` restores the coarser resolution's normal SNR at full
+point density and tracks 320x240 at 18 mm (15 mm at ds4) — see
+TestNormalPitchRescue and the 320x240 row in scripts/bench_all.py.
 """
 
 import jax
@@ -157,6 +163,32 @@ class TestMotionModelStability:
 
         g = jax.grad(loss)(src)
         assert bool(jnp.isfinite(g).all()), "NaN gradient through the guard"
+
+
+class TestNormalPitchRescue:
+    @pytest.mark.slow
+    def test_pitch2_rescues_noise_limited_tracking(self):
+        # scale-equivalent CPU stand-in for the 320x240@5mm failure: at
+        # 160x120 with DOUBLED noise (10 mm) the noise/baseline ratio of
+        # the pitch-1 normals matches 320x240@5mm — and tracking fails the
+        # same way (measured 2026-08-19: pitch1 0.363 m, pitch2 25 mm).
+        B, L, H, W = 1, 30, 120, 160
+        rgb, d, K, poses = hard_sequence(B, L, H, W, noise_sigma=0.010,
+                                         outlier_frac=0.0)
+        frames = RGBDImages(
+            jnp.asarray(rgb), jnp.asarray(d), jnp.asarray(K),
+            jnp.asarray(poses),
+        )
+        tuned = dict(motion_model="constant_velocity", robust_loss="tukey",
+                     robust_scale=0.03, dist_thresh=0.01,
+                     map_capacity=L * H * W, odom="gradicp", dsratio=4,
+                     numiters=10)
+        _, op1 = PointFusion(normal_pitch=1, **tuned)(frames)
+        ate1 = float(ate_rmse(op1[0], frames.poses[0]))
+        _, op2 = PointFusion(normal_pitch=2, **tuned)(frames)
+        ate2 = float(ate_rmse(op2[0], frames.poses[0]))
+        assert ate2 < 0.05, f"pitch-2 tracking regressed: {ate2}"
+        assert ate1 > 5 * ate2, (ate1, ate2)
 
 
 class TestHardClipRobustness:
