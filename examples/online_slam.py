@@ -55,6 +55,11 @@ parser.add_argument(
 )
 parser.add_argument("--robust-scale", type=float, default=0.05)
 parser.add_argument(
+    "--dist-thresh", type=float, default=None,
+    help="Squared-distance association gate for the solve and for "
+    "--health-every telemetry.",
+)
+parser.add_argument(
     "--motion-model", type=str, default="static",
     choices=["static", "constant_velocity"],
     help="odometry initialization: zero-motion (default) or the "
@@ -68,6 +73,12 @@ parser.add_argument(
 parser.add_argument("--prune-every", type=int, default=0,
                     help="prune unstable map points every N frames (0 = never)")
 parser.add_argument("--prune-min-confidence", type=float, default=1.0)
+parser.add_argument("--health-every", type=int, default=0,
+                    help="Every N frames, print tracking-health telemetry "
+                    "(inlier fraction / residual / map overlap — "
+                    "slam.tracking_health). Abrupt misalignment collapses "
+                    "inlier_frac; slow drift is self-consistent and needs "
+                    "an external reference.")
 parser.add_argument("--checkpoint-every", type=int, default=0,
                     help="save SLAM state every N frames (0 = never)")
 parser.add_argument("--resume", action="store_true",
@@ -99,7 +110,8 @@ def main():
     capacity = args.map_capacity or L * args.height * args.width
     pyramid = parse_pyramid(args.pyramid)
     slam = cls(odom=args.odometry, map_capacity=capacity, pyramid=pyramid,
-               robust_loss=args.robust_loss, robust_scale=args.robust_scale)
+               robust_loss=args.robust_loss, robust_scale=args.robust_scale,
+               dist_thresh=args.dist_thresh)
 
     start = 0
     traj = []
@@ -166,6 +178,20 @@ def main():
 
             pc = prune_map(pc, args.prune_min_confidence)
         print(f"frame {s}: {int(pc.num_points[0])} map points")
+        if args.health_every and (s + 1) % args.health_every == 0:
+            from gradslam_tpu.slam import tracking_health
+
+            h = tracking_health(
+                pc, frame(s, new_pose),
+                robust_scale=args.robust_scale,
+                dist_thresh=args.dist_thresh,
+            )
+            print(
+                f"  health: inliers {float(h['inlier_frac'][0]):.2f} "
+                f"assoc {float(h['assoc_frac'][0]):.2f} "
+                f"median|r| {float(h['median_abs_residual'][0]):.4f} m "
+                f"overlap {float(h['overlap_frac'][0]):.2f}"
+            )
         if args.checkpoint_every and (s + 1) % args.checkpoint_every == 0:
             save_state(ckpt_path, pc, jnp.stack(traj))
             print(f"  checkpointed -> {ckpt_path}")

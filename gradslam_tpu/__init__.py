@@ -21,7 +21,7 @@ from .odometry import (  # noqa: F401
     ICPOdometryProvider,
     OdometryProvider,
 )
-from .slam import ICPSLAM, PointFusion  # noqa: F401
+from .slam import ICPSLAM, PointFusion, tracking_health  # noqa: F401
 from .structures import (  # noqa: F401
     Pointclouds,
     RGBDImages,

@@ -4,6 +4,7 @@ from .fusionutils import (
     update_map_fusion,
     voxel_downsample,
 )
+from .health import tracking_health
 from .icpslam import ICPSLAM
 from .pointfusion import PointFusion
 
@@ -14,4 +15,5 @@ __all__ = [
     "update_map_aggregate",
     "prune_map",
     "voxel_downsample",
+    "tracking_health",
 ]

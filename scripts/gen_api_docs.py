@@ -49,6 +49,7 @@ PAGES = {
         "gradslam_tpu.slam.icpslam",
         "gradslam_tpu.slam.pointfusion",
         "gradslam_tpu.slam.fusionutils",
+        "gradslam_tpu.slam.health",
     ],
     "ops": [
         "gradslam_tpu.ops",
