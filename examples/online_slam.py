@@ -79,6 +79,14 @@ parser.add_argument("--health-every", type=int, default=0,
                     "slam.tracking_health). Abrupt misalignment collapses "
                     "inlier_frac; slow drift is self-consistent and needs "
                     "an external reference.")
+parser.add_argument("--relocalize-below", type=float, default=0.0,
+                    help="Decompose each tracked step into localize -> "
+                    "health gate -> fuse; when the solved pose's inlier "
+                    "fraction drops below this threshold, run "
+                    "slam.relocalize over a hypothesis grid (around the "
+                    "failed solve and the previous pose) BEFORE fusing "
+                    "(0 = off; healthy runs read ~0.8+, a 0.25 m "
+                    "misalignment ~0.35).")
 parser.add_argument("--checkpoint-every", type=int, default=0,
                     help="save SLAM state every N frames (0 = never)")
 parser.add_argument("--resume", action="store_true",
@@ -158,6 +166,50 @@ def main():
         if args.odometry == "gt" or prev is None:
             live = frame(s, gt_poses[:, s:s + 1])
             pc, new_pose = slam.step(pc, live)
+        elif args.relocalize_below:
+            # decomposed serving loop: localize -> health gate ->
+            # (relocalize) -> fuse. step() fuses unconditionally, so a
+            # diverged solve would corrupt the map before the gate sees it.
+            from gradslam_tpu.slam import (
+                perturbation_grid,
+                relocalize,
+                tracking_health,
+            )
+
+            live = frame(s, None)
+            new_pose = slam.localize(pc, live, prev,
+                                     prev_transform=prev_transform)
+            h = tracking_health(pc, live.with_poses(new_pose),
+                                robust_scale=args.robust_scale,
+                                dist_thresh=args.dist_thresh)
+            inl = float(h["inlier_frac"][0])
+            if inl < args.relocalize_below:
+                anchors = jnp.concatenate([
+                    perturbation_grid(
+                        new_pose[:, 0],
+                        yaw_deg=(0.0, -15.0, 15.0, -30.0, 30.0),
+                        translations=((0, 0, 0), (-0.2, 0, 0), (0.2, 0, 0)),
+                    ),
+                    perturbation_grid(prev.poses[:, 0],
+                                      yaw_deg=(0.0, -15.0, 15.0)),
+                ], axis=1)
+                new_pose, info = relocalize(
+                    pc, live, anchors, dsratio=slam.dsratio,
+                    robust_scale=args.robust_scale,
+                )
+                print(f"  relocalized (inliers {inl:.2f} -> "
+                      f"{float(info['inlier_frac'][0]):.2f}, hypothesis "
+                      f"{int(info['best_hypothesis'][0])}/{anchors.shape[1]})")
+            pc = slam.map_update(pc, live.with_poses(new_pose))
+            if cv:
+                from gradslam_tpu.geometry import (
+                    compose_transformations,
+                    inverse_transformation,
+                )
+
+                prev_transform = compose_transformations(
+                    new_pose[:, 0], inverse_transformation(prev.poses[:, 0])
+                )
         else:
             live = frame(s, None)
             pc, new_pose = slam.step(pc, live, prev,

@@ -21,7 +21,13 @@ from .odometry import (  # noqa: F401
     ICPOdometryProvider,
     OdometryProvider,
 )
-from .slam import ICPSLAM, PointFusion, tracking_health  # noqa: F401
+from .slam import (  # noqa: F401
+    ICPSLAM,
+    PointFusion,
+    perturbation_grid,
+    relocalize,
+    tracking_health,
+)
 from .structures import (  # noqa: F401
     Pointclouds,
     RGBDImages,

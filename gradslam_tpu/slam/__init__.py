@@ -7,6 +7,7 @@ from .fusionutils import (
 from .health import tracking_health
 from .icpslam import ICPSLAM
 from .pointfusion import PointFusion
+from .relocalize import perturbation_grid, relocalize
 
 __all__ = [
     "ICPSLAM",
@@ -16,4 +17,6 @@ __all__ = [
     "prune_map",
     "voxel_downsample",
     "tracking_health",
+    "perturbation_grid",
+    "relocalize",
 ]

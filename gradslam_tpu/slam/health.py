@@ -101,6 +101,37 @@ def tracking_health(
         )
     if live_frame.poses is None:
         raise ValueError("live_frame must carry poses (the pose under test).")
+    return _association_health(
+        pointclouds,
+        live_frame,
+        dsratio=dsratio,
+        robust_scale=robust_scale,
+        dist_thresh=dist_thresh,
+        icp_capacity=icp_capacity,
+    )
+
+
+# The KNN backends return this sentinel distance for rows with NO admissible
+# target (fully-masked target buffer); the gathered "neighbour" is then a
+# zeroed padding row whose zero normal makes the point-to-plane residual
+# exactly 0 — a spurious perfect inlier. Gate on a finite distance so an
+# association-free row can never count as healthy (matters when scoring
+# relocalization hypotheses that see no map at all).
+_FINITE_DIST = 1e29
+
+
+def _association_health(
+    pointclouds: Pointclouds,
+    live_frame: RGBDImages,
+    *,
+    dsratio: int,
+    robust_scale: float,
+    dist_thresh: Optional[float],
+    icp_capacity: Optional[int],
+) -> Dict[str, jnp.ndarray]:
+    """Validation-free core of :func:`tracking_health` (jit/vmap-safe; reused
+    by :func:`~gradslam_tpu.slam.relocalize.relocalize` to score hypothesis
+    poses)."""
     B, _, H, W = live_frame.shape
 
     target = Pointclouds(
@@ -121,7 +152,7 @@ def tracking_health(
 
     def health_one(src, src_mask, tgt, tgt_normals, tgt_mask):
         dists, idx = nn_points_auto(src, tgt, tgt_mask)
-        admissible = src_mask
+        admissible = src_mask & (dists < _FINITE_DIST)
         if dist_thresh is not None:
             admissible = admissible & (dists < dist_thresh)
         d = jnp.take(tgt, idx, axis=0)

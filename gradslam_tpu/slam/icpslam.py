@@ -243,6 +243,9 @@ class ICPSLAM:
             self.odomprov = self._pyramid_provs[-1]  # finest level
         self._forward = jax.jit(self._forward_impl) if use_jit else self._forward_impl
         self._step = jax.jit(self._step_impl) if use_jit else self._step_impl
+        self._localize_only = (
+            jax.jit(self._localize_impl) if use_jit else self._localize_impl
+        )
         # step()'s gt/bootstrap branch runs the map update alone — jit it
         # too, or every online odom='gt' frame dispatches the fusion
         # pipeline op-by-op (an order of magnitude slower on TPU).
@@ -368,6 +371,67 @@ class ICPSLAM:
             new_map = self._map_only(pointclouds, live_frame)
             return new_map, poses
         return self._step(pointclouds, live_frame, prev_frame, prev_transform)
+
+    def localize(
+        self,
+        pointclouds: Pointclouds,
+        live_frame: RGBDImages,
+        prev_frame: RGBDImages,
+        prev_transform: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        r"""Pose-only odometry solve — :meth:`step` without the map update.
+
+        Together with :meth:`map_update` this decomposes ``step`` for
+        serving loops that gate fusion on tracking health::
+
+            poses = slam.localize(pc, live, prev)
+            h = tracking_health(pc, live.with_poses(poses))
+            if h["inlier_frac"][0] < threshold:
+                poses, info = relocalize(pc, live, anchors)   # recover
+            pc = slam.map_update(pc, live.with_poses(poses))  # fuse last
+
+        ``step`` fuses unconditionally, so a diverged solve would corrupt
+        the map before the monitor ever sees it.
+
+        Same arguments/semantics as :meth:`step` (odometry part only);
+        returns poses ``(B, 1, 4, 4)``. Not available for ``odom='gt'``
+        (there is nothing to solve — use the frame's own poses).
+        """
+        if self.odom == "gt":
+            raise ValueError(
+                "localize is not available for odom='gt'; ground-truth "
+                "pipelines use the frame's own poses."
+            )
+        if not isinstance(live_frame, RGBDImages):
+            raise TypeError(
+                f"Expected live_frame to be of type RGBDImages. Got {type(live_frame)}."
+            )
+        if not isinstance(prev_frame, RGBDImages):
+            raise TypeError(
+                f"Expected prev_frame to be of type RGBDImages. Got {type(prev_frame)}."
+            )
+        if prev_frame.poses is None:
+            raise ValueError("`prev_frame` should have poses, but did not.")
+        return self._localize_only(
+            pointclouds,
+            live_frame.to_channels_last(),
+            prev_frame.to_channels_last(),
+            prev_transform,
+        )
+
+    def map_update(
+        self, pointclouds: Pointclouds, live_frame: RGBDImages
+    ) -> Pointclouds:
+        r"""Map-only update at the frame's current pose — :meth:`step`
+        without odometry (the fusion half of the :meth:`localize`
+        decomposition; jit-compiled)."""
+        if not isinstance(live_frame, RGBDImages):
+            raise TypeError(
+                f"Expected live_frame to be of type RGBDImages. Got {type(live_frame)}."
+            )
+        if live_frame.poses is None:
+            raise ValueError("live_frame must carry poses to fuse at.")
+        return self._map_only(pointclouds, live_frame.to_channels_last())
 
     # ------------------------------------------------------------------ #
     # Internals
@@ -533,7 +597,7 @@ class ICPSLAM:
             return frames
         return dataclasses.replace(frames, normal_pitch=self.normal_pitch)
 
-    def _step_impl(self, pointclouds, live_frame, prev_frame, prev_transform=None):
+    def _localize_impl(self, pointclouds, live_frame, prev_frame, prev_transform=None):
         live_frame = self._with_normal_pitch(live_frame)
         if prev_transform is not None:
             # constant-velocity prior: solve from (and project the
@@ -544,8 +608,13 @@ class ICPSLAM:
                 jnp.asarray(prev_transform), prev_frame.poses[:, 0]
             ))
             prev_frame = prev_frame.with_poses(pred[:, None])
-        poses = self._localize(pointclouds, live_frame, prev_frame)
-        live_frame = live_frame.with_poses(poses)
+        return self._localize(pointclouds, live_frame, prev_frame)
+
+    def _step_impl(self, pointclouds, live_frame, prev_frame, prev_transform=None):
+        poses = self._localize_impl(
+            pointclouds, live_frame, prev_frame, prev_transform
+        )
+        live_frame = self._with_normal_pitch(live_frame).with_poses(poses)
         pointclouds = self._map(pointclouds, live_frame)
         return pointclouds, poses
 

@@ -50,6 +50,7 @@ PAGES = {
         "gradslam_tpu.slam.pointfusion",
         "gradslam_tpu.slam.fusionutils",
         "gradslam_tpu.slam.health",
+        "gradslam_tpu.slam.relocalize",
     ],
     "ops": [
         "gradslam_tpu.ops",

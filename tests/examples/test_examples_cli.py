@@ -113,6 +113,23 @@ class TestOnlineSlamCLI:
         assert "resumed from" in r.stdout and "frame 3:" in r.stdout
         assert os.path.exists(os.path.join(out, "trajectory.txt"))
 
+    def test_relocalize_gated_stream(self, fake_tum, tmp_path):
+        # decomposed serving loop: localize -> health gate -> fuse
+        # (--relocalize-below). Threshold 1.01 forces the relocalizer to run
+        # every tracked frame, exercising the full recovery path end-to-end;
+        # the run must still complete and export.
+        out = str(tmp_path / "reloc")
+        r = run_example(
+            "online_slam.py", "--dataset_path", fake_tum,
+            "--odometry", "icp", "--seqlen", "3",
+            "--height", "24", "--width", "32", "--map_capacity", "4000",
+            "--relocalize-below", "1.01", "--out", out,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "relocalized (inliers" in r.stdout
+        assert "frame 2:" in r.stdout
+        assert os.path.exists(os.path.join(out, "trajectory.txt"))
+
     @pytest.mark.slow
     def test_stream_checkpoint_resume_and_evaluate(self, fake_tum, tmp_path):
         out = str(tmp_path / "run")
