@@ -243,6 +243,11 @@ def refine(
 
 
 def main():
+    from gradslam_tpu.utils import enable_compile_cache
+
+    # persistent XLA compile cache: re-runs skip the minutes-long
+    # 640x480 fused-SLAM compile (VERDICT r3 #3)
+    enable_compile_cache()
     args = parser.parse_args()
     import jax
 

@@ -36,6 +36,11 @@ args = parser.parse_args()
 
 
 def main():
+    from gradslam_tpu.utils import enable_compile_cache
+
+    # persistent XLA compile cache: re-runs skip the minutes-long
+    # 640x480 fused-SLAM compile (VERDICT r3 #3)
+    enable_compile_cache()
     if args.dataset == "tum":
         dataset = TUM(
             args.dataset_path, sequences=args.sequences, seqlen=args.seqlen,

@@ -77,6 +77,11 @@ args = parser.parse_args()
 
 
 def main():
+    from gradslam_tpu.utils import enable_compile_cache
+
+    # persistent XLA compile cache: re-runs skip the minutes-long
+    # 640x480 fused-SLAM compile (VERDICT r3 #3)
+    enable_compile_cache()
     cfg = CfgNode(
         {
             "odometry": args.odometry,

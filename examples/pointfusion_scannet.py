@@ -36,6 +36,11 @@ NUM_CLASSES = 21  # scannet20 + unlabeled
 
 
 def main():
+    from gradslam_tpu.utils import enable_compile_cache
+
+    # persistent XLA compile cache: re-runs skip the minutes-long
+    # 640x480 fused-SLAM compile (VERDICT r3 #3)
+    enable_compile_cache()
     scenes = args.scenes
     if scenes is not None and not scenes.endswith(".txt"):
         scenes = tuple(scenes.split(","))

@@ -230,10 +230,13 @@ def _guard_robust_step(xi, A, robust_scale, src_pc, src_mask):
       full-size rotation corrections). Surviving rows have residuals
       ``<= robust_scale`` by construction, so a step orders of magnitude
       beyond the band is inconsistent with the data that produced it;
-    - inlier-mass fade: for unit(ish) normals each surviving row's first
-      three columns carry its IRLS weight (``w * |n|^2``), so
-      ``sum(A[:, :3]**2)`` is the effective inlier mass; below
-      ``min(_MIN_INLIER_MASS, N/2)`` rows' worth (relative floor so
+    - inlier-mass fade: each surviving row's first three columns are
+      ``w * n``, so ``sum(A[:, :3]**2) = sum(w^2 |n|^2)`` — a
+      SQUARED-weight mass, intentionally conservative: a partial-weight
+      row (IRLS weight w < 1) contributes w^2 < w units, so the fade
+      requires close to ``_MIN_INLIER_MASS`` near-full-weight rows, not
+      merely that many half-trusted ones. Below
+      ``min(_MIN_INLIER_MASS, N/2)`` units (relative floor so
       legitimately small clouds keep their full step) the step fades
       linearly to zero — a lost tracker coasts on its prior instead of
       chasing noise.

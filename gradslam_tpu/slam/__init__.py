@@ -4,7 +4,7 @@ from .fusionutils import (
     update_map_fusion,
     voxel_downsample,
 )
-from .health import tracking_health
+from .health import keyframe_anchor, tracking_health
 from .icpslam import ICPSLAM
 from .pointfusion import PointFusion
 from .relocalize import perturbation_grid, relocalize
@@ -17,6 +17,7 @@ __all__ = [
     "prune_map",
     "voxel_downsample",
     "tracking_health",
+    "keyframe_anchor",
     "perturbation_grid",
     "relocalize",
 ]

@@ -20,9 +20,17 @@ Measured signatures (hard clip at 160x120, tuned cv+tukey, CPU 2026-08-19):
 Honest limitation — **slow drift is invisible to self-consistency**: a
 tracker drifting a few mm/frame fuses the map at its own wrong poses, so
 frame-vs-own-map residuals stay healthy (measured: a run drifting to
-63 mm ATE over 10 frames still reads inlier_frac 0.87). Detecting slow
-drift needs an external reference (loop closure, GT, a second sensor) —
-no per-frame residual statistic can provide it.
+63 mm ATE over 10 frames still reads inlier_frac 0.87). The in-library
+mitigation is an *anchored* reference: :func:`keyframe_anchor` freezes a
+downsampled geometry snapshot of an early (still-trusted) frame, and the
+SAME ``tracking_health`` call scored against that snapshot instead of the
+self-fused map exposes the accumulated drift (tested:
+``tests/slam/test_health.py::TestKeyframeDrift`` — a 5 mm/frame drift
+reads healthy vs the own map and alarms vs a frame-0 anchor). Remaining
+honest limits: drift *before* the anchor was frozen is invisible, and the
+anchor only scores frames whose frustum still overlaps it — refresh
+anchors (append a new one every K frames, drop ones that left the view)
+and the blind window is the refresh interval, not the whole run.
 
 Everything is jit-safe and static-shape; cost is one extra KNN pass per
 call (one solver iteration's worth), so calling it every frame is
@@ -43,7 +51,41 @@ from ..structures.pointclouds import Pointclouds
 from ..structures.rgbdimages import RGBDImages
 from .fusionutils import find_active_map_points
 
-__all__ = ["tracking_health"]
+__all__ = ["tracking_health", "keyframe_anchor"]
+
+
+def keyframe_anchor(live_frame: RGBDImages, dsratio: int = 1) -> Pointclouds:
+    r"""Freeze a geometry-only world-frame snapshot of a (posed) frame — a
+    drift-detection anchor.
+
+    Scoring ``tracking_health(anchor, live)`` against a FROZEN early
+    keyframe instead of the self-fused map exposes slow drift that
+    frame-vs-own-map residuals cannot (the map is fused at the tracker's own
+    wrong poses; the anchor is not). The same cloud also serves as a
+    relocalization target. Maintain a rolling set by appending
+    (``anchor.append_points(keyframe_anchor(frame_k))``) every K frames.
+
+    Args:
+        live_frame: sequence-length-1 :class:`RGBDImages` at its SOLVED pose
+            (snapshot it while tracking is still trusted).
+        dsratio: strided downsampling of the snapshot. Default 1 (dense) on
+            purpose: ``tracking_health`` strides the MAP side itself by
+            keeping points whose *current* projected pixel is 0 mod ds, and
+            a pre-strided anchor aliases against that filter — a coherent
+            few-pixel camera shift can move every anchor point off the
+            stride lattice and empty the association (measured: assoc_frac
+            exactly 0.0 on a 9-frame 5 mm/frame pan). Keep the anchor dense
+            and let each health call do the downsampling; pass dsratio > 1
+            only if you also pass a matching finer ``dsratio`` to
+            ``tracking_health``.
+
+    Returns:
+        Geometry-only (points + normals) :class:`Pointclouds`, world frame.
+    """
+    pc = downsample_rgbdimages(live_frame, dsratio)
+    return Pointclouds(
+        points=pc.points, num_points=pc.num_points, normals=pc.normals
+    )
 
 
 def tracking_health(
@@ -54,6 +96,7 @@ def tracking_health(
     robust_scale: float = 0.05,
     dist_thresh: Optional[float] = None,
     icp_capacity: Optional[int] = None,
+    method: str = "knn",
 ) -> Dict[str, jnp.ndarray]:
     r"""Evaluate frame-to-map tracking health at the frame's current pose.
 
@@ -69,6 +112,13 @@ def tracking_health(
             magnitude count as inliers (use the pipeline's ``robust_scale``;
             for plain least-squares pipelines a few x the sensor noise
             floor is a good band).
+        method: ``'knn'`` (default — the KNN association the classic
+            solvers use) or ``'projective'`` (the projective association of
+            ``odom_assoc='projective'`` pipelines: one streaming pass + one
+            gather, keeping a projective pipeline's per-frame health
+            entirely KNN-free). Match it to the pipeline so health measures
+            the solver's own association; statistics then count map-window
+            rows instead of frame rows, mirroring the solver's row set.
 
     Returns:
         dict of ``(B,)`` float arrays:
@@ -101,6 +151,19 @@ def tracking_health(
         )
     if live_frame.poses is None:
         raise ValueError("live_frame must carry poses (the pose under test).")
+    if method not in ("knn", "projective"):
+        raise ValueError(
+            f"Unknown method: {method!r}. Expected 'knn' or 'projective'."
+        )
+    if method == "projective":
+        return _projective_health(
+            pointclouds,
+            live_frame,
+            dsratio=dsratio,
+            robust_scale=robust_scale,
+            dist_thresh=dist_thresh,
+            icp_capacity=icp_capacity,
+        )
     return _association_health(
         pointclouds,
         live_frame,
@@ -173,6 +236,81 @@ def _association_health(
         maps_pc.points,
         maps_pc.normals,
         maps_pc.nonpad_mask,
+    )
+    overlap = jnp.sum(active.valid, axis=-1) / jnp.maximum(
+        pointclouds.num_points.astype(jnp.float32), 1.0
+    )
+    return {
+        "inlier_frac": inlier_frac,
+        "assoc_frac": assoc_frac,
+        "median_abs_residual": med,
+        "overlap_frac": overlap,
+    }
+
+
+def _projective_health(
+    pointclouds: Pointclouds,
+    live_frame: RGBDImages,
+    *,
+    dsratio: int,
+    robust_scale: float,
+    dist_thresh: Optional[float],
+    icp_capacity: Optional[int],
+) -> Dict[str, jnp.ndarray]:
+    """Projective-association health (jit/vmap-safe): the statistic of
+    :func:`tracking_health` computed with the SAME map->frame projection +
+    gather association ``odom_assoc='projective'`` solvers use — no KNN
+    anywhere, so a projective pipeline's per-frame health costs one
+    streaming pass + one row gather. Rows are map-window points (the
+    solver's row set); ``assoc_frac``'s denominator is the active map
+    window."""
+    from ..odometry.projective import projective_associate
+
+    B, _, H, W = live_frame.shape
+    live_frame = live_frame.to_channels_last()
+    target = Pointclouds(
+        points=pointclouds.points,
+        num_points=pointclouds.num_points,
+        normals=pointclouds.normals,
+    )
+    active = find_active_map_points(target, live_frame)
+    cap = (
+        icp_capacity
+        if icp_capacity is not None
+        else 2 * math.ceil(H / dsratio) * math.ceil(W / dsratio)
+    )
+    maps_pc = downsample_pointclouds(
+        target, active.valid, active.pix_h, active.pix_w, dsratio, cap
+    )
+    HW = H * W
+    vert = live_frame.vertex_map.reshape(B, HW, 3)
+    nrm = live_frame.normal_map.reshape(B, HW, 3)
+    validp = live_frame.valid_depth_mask.reshape(B, HW, 1).astype(vert.dtype)
+    frame_geom = jnp.concatenate(
+        [vert, nrm, validp, jnp.zeros_like(validp)], axis=-1
+    )
+
+    def health_one(m_pts, m_nrm, m_mask, fgeom, K, pose):
+        s, admissible = projective_associate(
+            m_pts, m_nrm, m_mask, fgeom, K, pose, H, W, dist_thresh
+        )
+        r = jnp.abs(jnp.sum(m_nrm * (m_pts - s), axis=-1))
+        n_rows = jnp.maximum(jnp.sum(m_mask), 1.0)
+        inlier = admissible & (r <= robust_scale)
+        med = jnp.nanmedian(jnp.where(admissible, r, jnp.nan))
+        return (
+            jnp.sum(inlier) / n_rows,
+            jnp.sum(admissible) / n_rows,
+            med,
+        )
+
+    inlier_frac, assoc_frac, med = jax.vmap(health_one)(
+        maps_pc.points,
+        maps_pc.normals,
+        maps_pc.nonpad_mask,
+        frame_geom,
+        live_frame.intrinsics[:, 0],
+        live_frame.poses[:, 0],
     )
     overlap = jnp.sum(active.valid, axis=-1) / jnp.maximum(
         pointclouds.num_points.astype(jnp.float32), 1.0

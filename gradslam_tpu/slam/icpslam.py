@@ -40,6 +40,7 @@ from ..odometry.icputils import (
     validate_pyramid,
     validate_robust,
 )
+from ..odometry.projective import ProjectiveOdometryProvider
 from ..structures.pointclouds import Pointclouds
 from ..structures.rgbdimages import RGBDImages
 from .fusionutils import find_active_map_points, prune_map, update_map_aggregate
@@ -53,6 +54,24 @@ class ICPSLAM:
     Args:
         odom: odometry method — 'gt', 'icp' or 'gradicp' (reference
             icpslam.py:80-91).
+        odom_assoc: how the tracked solvers associate frame and map.
+            ``'knn'`` (default, reference semantics): each downsampled frame
+            point finds its Euclidean nearest map point every iteration — an
+            O(N·M) search (the reference's chamferdist KNN,
+            icputils.py:200). ``'projective'``: frame-to-model projective
+            association — the map window is projected into the live camera
+            at the current estimate and reads the frame vertex/normal at
+            the landed pixel, one streaming pass + one row gather per
+            iteration (O(N); no KNN anywhere). Measured: the tracked
+            640x480 pipeline's odometry cost drops ~an order of magnitude
+            at comparable ATE (see BENCH_ALL). The solvers, robust kernels,
+            pyramid and motion-model knobs apply to both modes.
+        odom_angle_gate: optional normal-compatibility gate (degrees) for
+            ``odom_assoc='projective'``: associations whose frame normal
+            deviates from the map normal by more than this angle are
+            rejected — discards wrong-surface correspondences a pure
+            distance gate admits, letting association density scale with
+            resolution on noisy depth (design.md §4). None disables.
         dsratio: downsampling ratio applied to frames and map before ICP.
         numiters / damp / dist_thresh: ICP solver parameters.
         robust_loss / robust_scale: optional robust kernel ('huber' or
@@ -121,6 +140,30 @@ class ICPSLAM:
             ``forward`` only — the frame-counter lives in its scan; online
             ``step`` loops call ``prune_map`` themselves (see
             ``examples/online_slam.py``).
+        relocalize_below: if > 0, the scanned ``forward`` gains the failure
+            branch the reference never had (icpslam.py:180-247): after every
+            odometry solve, tracking health (inlier fraction of the
+            frame-to-map association at the solved pose —
+            :func:`~gradslam_tpu.slam.health.tracking_health`) is evaluated,
+            and when it drops below this threshold a multi-hypothesis
+            relocalization (:func:`~gradslam_tpu.slam.relocalize.relocalize`
+            over a camera-local perturbation grid) runs INSIDE the scan via
+            ``lax.cond`` — the healthy path pays only the health statistic
+            (~one solver iteration per frame); the recovery solves execute
+            only on unhealthy frames. The recovered pose is adopted only if
+            it scores strictly better than the failed solve (scored with
+            the same gates), so recovery can never make a frame worse.
+            Healthy runs read inlier fractions ~0.8+; 0.2-0.5 are useful
+            thresholds. 0 disables (reference semantics). Tracked odometry
+            only (odom='icp'/'gradicp').
+        relocalize_grid: optional dict of
+            :func:`~gradslam_tpu.slam.relocalize.perturbation_grid` kwargs
+            (``yaw_deg``, ``translations``) defining the in-scan hypothesis
+            grid; default = the grid's defaults (5 yaw spins). Size the
+            translations to the jumps you expect (e.g. ``((0, 0, 0),
+            (-0.3, 0, 0), (0.3, 0, 0))`` for kidnaps along camera-x).
+        relocalize_dsratio / relocalize_numiters: recovery solve controls
+            (coarser/shorter than tracking by default: 8 / 12).
         normal_pitch: finite-difference baseline (pixels) for the frames'
             normal maps (see :class:`~gradslam_tpu.structures.RGBDImages`).
             Depth-noise-induced normal error scales with
@@ -143,6 +186,8 @@ class ICPSLAM:
         self,
         *,
         odom: str = "gradicp",
+        odom_assoc: str = "knn",
+        odom_angle_gate: Optional[float] = None,
         dsratio: int = 4,
         numiters: int = 20,
         pyramid: Optional[list] = None,
@@ -163,6 +208,10 @@ class ICPSLAM:
         prune_min_confidence: float = 1.0,
         feature_channels: int = 0,
         normal_pitch: Optional[int] = None,
+        relocalize_below: float = 0.0,
+        relocalize_grid: Optional[dict] = None,
+        relocalize_dsratio: int = 8,
+        relocalize_numiters: int = 12,
         use_jit: bool = True,
         remat: bool = False,
     ):
@@ -173,6 +222,25 @@ class ICPSLAM:
                 "'gt', 'icp', 'gradicp'"
             )
         self.odom = odom
+        self.dist_thresh = dist_thresh
+        if odom_assoc not in ("knn", "projective"):
+            raise ValueError(
+                f"Unknown odom_assoc: {odom_assoc!r}. "
+                "Expected 'knn' or 'projective'."
+            )
+        self.odom_assoc = odom_assoc
+        if odom_angle_gate is not None:
+            if odom_assoc != "projective":
+                raise ValueError(
+                    "odom_angle_gate requires odom_assoc='projective' (the "
+                    "KNN mode has no per-association frame normal to gate on)."
+                )
+            if not (0 < odom_angle_gate <= 180):
+                raise ValueError(
+                    f"odom_angle_gate must be in (0, 180] degrees or None. "
+                    f"Got {odom_angle_gate}."
+                )
+        self.odom_angle_gate = odom_angle_gate
         if not isinstance(dsratio, int) or dsratio < 1:
             raise ValueError(f"dsratio must be an int >= 1. Got {dsratio}.")
         self.dsratio = dsratio
@@ -217,12 +285,50 @@ class ICPSLAM:
                 f"normal_pitch must be None or an int >= 1. Got {normal_pitch!r}."
             )
         self.normal_pitch = normal_pitch
+        if relocalize_below < 0 or relocalize_below >= 1:
+            raise ValueError(
+                f"relocalize_below must be in [0, 1) (0 disables). "
+                f"Got {relocalize_below}."
+            )
+        if relocalize_below > 0 and odom == "gt":
+            raise ValueError(
+                "relocalize_below requires tracked odometry "
+                "(odom='icp'/'gradicp'), not odom='gt' — ground-truth "
+                "poses cannot be lost."
+            )
+        self.relocalize_below = float(relocalize_below)
+        self.relocalize_grid = dict(relocalize_grid or {})
+        if relocalize_dsratio < 1 or relocalize_numiters < 1:
+            raise ValueError(
+                "relocalize_dsratio and relocalize_numiters must be >= 1. "
+                f"Got {relocalize_dsratio}, {relocalize_numiters}."
+            )
+        self.relocalize_dsratio = relocalize_dsratio
+        self.relocalize_numiters = relocalize_numiters
         self.pyramid = validate_pyramid(pyramid)
         validate_robust(robust_loss, robust_scale)
         self.robust_loss = robust_loss
         self.robust_scale = robust_scale
 
         def make_provider(n_iters):
+            if odom in ("icp", "gradicp") and odom_assoc == "projective":
+                return ProjectiveOdometryProvider(
+                    solver=odom,
+                    numiters=n_iters,
+                    damp=damp,
+                    dist_thresh=dist_thresh,
+                    dot_gate=(
+                        None if odom_angle_gate is None
+                        else math.cos(math.radians(odom_angle_gate))
+                    ),
+                    lambda_max=lambda_max,
+                    B=B,
+                    B2=B2,
+                    nu=nu,
+                    lookahead_assoc=lookahead_assoc,
+                    robust_loss=robust_loss,
+                    robust_scale=robust_scale,
+                )
             if odom == "icp":
                 return ICPOdometryProvider(
                     n_iters, damp, dist_thresh, lookahead_assoc,
@@ -249,7 +355,14 @@ class ICPSLAM:
         # step()'s gt/bootstrap branch runs the map update alone — jit it
         # too, or every online odom='gt' frame dispatches the fusion
         # pipeline op-by-op (an order of magnitude slower on TPU).
-        self._map_only = jax.jit(self._map) if use_jit else self._map
+        # The pipeline's normal_pitch override applies here exactly as it
+        # does inside _step_impl/_forward_impl: the decomposed serving loop
+        # (localize -> gate -> map_update) and step()'s gt branch must fuse
+        # the same pitch-k normals step()/forward() fuse.
+        def _map_pitched(pointclouds, live_frame):
+            return self._map(pointclouds, self._with_normal_pitch(live_frame))
+
+        self._map_only = jax.jit(_map_pitched) if use_jit else _map_pitched
 
     # ------------------------------------------------------------------ #
     # Public API
@@ -562,8 +675,9 @@ class ICPSLAM:
         target = self._icp_target_window(pointclouds, H, W)
         active = find_active_map_points(target, prev_frame)
 
+        projective = self.odom_assoc == "projective"
+
         def solve_level(prov, ds, init_T):
-            frames_pc = downsample_rgbdimages(live_frame, ds)
             maps_pc = downsample_pointclouds(
                 target,
                 active.valid,
@@ -572,6 +686,12 @@ class ICPSLAM:
                 ds,
                 self._default_icp_capacity(H, W, ds),
             )
+            if projective:
+                # frame-to-model: the live frame's own vertex/normal image
+                # is the association target — no frame cloud, no KNN
+                return prov.provide(maps_pc, live_frame,
+                                    initial_transform=init_T)
+            frames_pc = downsample_rgbdimages(live_frame, ds)
             return prov.provide(maps_pc, frames_pc, initial_transform=init_T)
 
         if self.pyramid is None:
@@ -586,6 +706,59 @@ class ICPSLAM:
         return compose_transformations(
             transform[:, 0], prev_frame.poses[:, 0]
         )[:, None]
+
+    def _maybe_relocalize(
+        self, map_pc: Pointclouds, live: RGBDImages, poses: jnp.ndarray
+    ) -> jnp.ndarray:
+        """In-scan failure branch (``relocalize_below``): score the solved
+        pose with the tracking-health statistic; when any batch element is
+        unhealthy, run the multi-hypothesis recovery under ``lax.cond`` (the
+        healthy path never executes it) and adopt the recovered pose per
+        element only where it scores strictly better under the same gates."""
+        from .health import _association_health, _projective_health
+        from .relocalize import perturbation_grid, relocalize
+
+        target = Pointclouds(
+            points=map_pc.points,
+            num_points=map_pc.num_points,
+            normals=map_pc.normals,
+        )
+        health_kw = dict(
+            dsratio=self.dsratio,
+            robust_scale=self.robust_scale,
+            dist_thresh=self.dist_thresh,
+            icp_capacity=None,
+        )
+        # health measures the pipeline's own association — and keeps a
+        # projective pipeline's healthy path entirely KNN-free
+        health_fn = (
+            _projective_health if self.odom_assoc == "projective"
+            else _association_health
+        )
+        h = health_fn(target, live.with_poses(poses), **health_kw)
+        unhealthy = h["inlier_frac"] < self.relocalize_below
+
+        def recover(p):
+            anchors = perturbation_grid(p[:, 0], **self.relocalize_grid)
+            # recovery solves run WITHOUT the tracking dist_thresh: a tight
+            # association gate starves exactly the far-off initializations
+            # recovery must pull in (relocalize's own default rationale)
+            rec, _info = relocalize(
+                target,
+                live,
+                anchors,
+                odom=self.odom,
+                dsratio=self.relocalize_dsratio,
+                numiters=self.relocalize_numiters,
+                robust_scale=self.robust_scale,
+            )
+            # apples-to-apples acceptance: re-score the recovered pose with
+            # the SAME gates the failed solve was scored with
+            h2 = health_fn(target, live.with_poses(rec), **health_kw)
+            take = (unhealthy & (h2["inlier_frac"] > h["inlier_frac"]))
+            return jnp.where(take[:, None, None, None], rec, p)
+
+        return jax.lax.cond(jnp.any(unhealthy), recover, lambda p: p, poses)
 
     def _with_normal_pitch(self, frames: RGBDImages) -> RGBDImages:
         """Apply the pipeline's ``normal_pitch`` override (None = keep the
@@ -709,6 +882,8 @@ class ICPSLAM:
                 normal_pitch=frames.normal_pitch,
             )
             poses = self._localize(map_pc, live, live)  # (B, 1, 4, 4)
+            if self.relocalize_below > 0:
+                poses = self._maybe_relocalize(map_pc, live, poses)
             live = live.with_poses(poses)
             map_pc = self._maybe_prune(self._map(map_pc, live), idx)
             # world-frame relative transform (poses compose as T @ prev):

@@ -31,6 +31,8 @@ class PointFusion(ICPSLAM):
         self,
         *,
         odom: str = "gradicp",
+        odom_assoc: str = "knn",
+        odom_angle_gate: Optional[float] = None,
         dist_th: Union[float, int] = 0.05,
         angle_th: Union[float, int] = 20,
         sigma: Union[float, int] = 0.6,
@@ -58,6 +60,10 @@ class PointFusion(ICPSLAM):
         prune_every: int = 0,
         prune_min_confidence: float = 1.0,
         normal_pitch: Optional[int] = None,
+        relocalize_below: float = 0.0,
+        relocalize_grid: Optional[dict] = None,
+        relocalize_dsratio: int = 8,
+        relocalize_numiters: int = 12,
         use_jit: bool = True,
         remat: bool = False,
     ):
@@ -75,6 +81,8 @@ class PointFusion(ICPSLAM):
             )
         super().__init__(
             odom=odom,
+            odom_assoc=odom_assoc,
+            odom_angle_gate=odom_angle_gate,
             dsratio=dsratio,
             numiters=numiters,
             pyramid=pyramid,
@@ -95,6 +103,10 @@ class PointFusion(ICPSLAM):
             prune_min_confidence=prune_min_confidence,
             feature_channels=feature_channels,
             normal_pitch=normal_pitch,
+            relocalize_below=relocalize_below,
+            relocalize_grid=relocalize_grid,
+            relocalize_dsratio=relocalize_dsratio,
+            relocalize_numiters=relocalize_numiters,
             use_jit=use_jit,
             remat=remat,
         )

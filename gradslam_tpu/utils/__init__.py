@@ -1,5 +1,5 @@
 from .checkpoint import load_state, save_state
-from .cli import parse_pyramid
+from .cli import enable_compile_cache, parse_pyramid
 from .precision import HIGHEST, einsum_hp, matmul_hp
 from .profiling import annotate, device_timer, trace
 from .trajectory_io import load_trajectory_tum, save_trajectory_tum
@@ -10,6 +10,7 @@ __all__ = [
     "matmul_hp",
     "save_state",
     "load_state",
+    "enable_compile_cache",
     "parse_pyramid",
     "annotate",
     "trace",

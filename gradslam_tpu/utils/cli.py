@@ -8,7 +8,24 @@ syntax with the same error messages.
 
 from __future__ import annotations
 
+import os
 from typing import List, Optional, Tuple
+
+
+def enable_compile_cache(path: Optional[str] = None) -> None:
+    """Point JAX at a persistent compilation cache so re-running a script
+    skips the (minutes-long at 640x480) XLA compile of the fused SLAM
+    program. Called by every example CLI and benchmark; honors
+    ``JAX_COMPILATION_CACHE_DIR`` when set, defaulting to
+    ``~/.jaxcache``. No-op if jax is configured already."""
+    import jax
+
+    path = path or os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".jaxcache"),
+    )
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def parse_pyramid(spec: Optional[str]) -> Optional[List[Tuple[int, int]]]:

@@ -44,6 +44,7 @@ PAGES = {
         "gradslam_tpu.odometry.icp",
         "gradslam_tpu.odometry.gradicp",
         "gradslam_tpu.odometry.icputils",
+        "gradslam_tpu.odometry.projective",
     ],
     "slam": [
         "gradslam_tpu.slam.icpslam",

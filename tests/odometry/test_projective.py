@@ -1,0 +1,236 @@
+"""Projective data association odometry (odometry.projective): the KNN-free
+frame-to-model mode the reference cannot express (it is welded to chamferdist,
+/root/reference/gradslam/odometry/icputils.py:3). Covers: solver-level pose
+recovery, pipeline-level ATE parity with the KNN mode, the normal gate's
+wrong-surface rejection on the hard clip, differentiability, and validation."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gradslam_tpu import ICPSLAM, PointFusion, RGBDImages
+from gradslam_tpu.datasets import hard_sequence, synthetic_sequence
+from gradslam_tpu.geometry import se3_exp
+from gradslam_tpu.metrics import ate_rmse
+from gradslam_tpu.odometry import (
+    ProjectiveOdometryProvider,
+    point_to_plane_gradICP_projective,
+    projective_associate,
+)
+from gradslam_tpu.structures import Pointclouds
+
+TUNED = dict(motion_model="constant_velocity", robust_loss="tukey",
+             robust_scale=0.03, dist_thresh=0.01)
+
+
+def one_frame(H=60, W=80, seed=0):
+    rgb, d, K, poses = synthetic_sequence(1, 1, H, W, seed=seed)
+    return RGBDImages(jnp.asarray(rgb), jnp.asarray(d), jnp.asarray(K),
+                      jnp.asarray(poses))
+
+
+def frame_geom_of(frame):
+    """Packed (HW, 8) association image: vertex | normal | valid | 0."""
+    B, _, H, W = frame.shape
+    vert = frame.vertex_map.reshape(B, H * W, 3)
+    nrm = frame.normal_map.reshape(B, H * W, 3)
+    valid = frame.valid_depth_mask.reshape(B, H * W, 1).astype(vert.dtype)
+    return jnp.concatenate(
+        [vert, nrm, valid, jnp.zeros_like(valid)], axis=-1)[0]
+
+
+class TestProjectiveAssociate:
+    def test_self_association_at_true_pose(self):
+        """Every valid map point sampled from the frame itself must
+        re-associate to (nearly) itself at the true pose."""
+        frame = one_frame()
+        _, _, H, W = frame.shape
+        pts = frame.global_vertex_map.reshape(1, H * W, 3)[0]
+        nrm = frame.global_normal_map.reshape(1, H * W, 3)[0]
+        mask = frame.valid_depth_mask.reshape(1, H * W)[0]
+        s, valid = projective_associate(
+            pts, nrm, mask, frame_geom_of(frame), frame.intrinsics[0, 0],
+            frame.poses[0, 0], H, W,
+        )
+        v = np.asarray(valid)
+        assert v.sum() > 0.9 * np.asarray(mask).sum()
+        err = np.linalg.norm(np.asarray(s - pts), axis=-1)[v]
+        assert err.max() < 1e-4
+
+    def test_gates(self):
+        frame = one_frame()
+        _, _, H, W = frame.shape
+        pts = frame.global_vertex_map.reshape(1, H * W, 3)[0]
+        nrm = frame.global_normal_map.reshape(1, H * W, 3)[0]
+        mask = frame.valid_depth_mask.reshape(1, H * W)[0]
+        args = (frame_geom_of(frame), frame.intrinsics[0, 0],
+                frame.poses[0, 0], H, W)
+        # shift the map 10 cm: a 1 cm^2 distance gate kills everything
+        _, v_far = projective_associate(pts + 0.1, nrm, mask, *args,
+                                        dist_thresh=0.01**2)
+        assert int(np.asarray(v_far).sum()) == 0
+        # flip the map normals: a dot gate kills everything
+        _, v_flip = projective_associate(pts, -nrm, mask, *args,
+                                         dot_gate=0.5)
+        assert int(np.asarray(v_flip).sum()) == 0
+        # behind-camera points are invalid
+        behind = pts.at[..., 2].set(-1.0)
+        _, v_behind = projective_associate(behind, nrm, mask, *args)
+        assert int(np.asarray(v_behind).sum()) == 0
+
+
+class TestProjectiveSolver:
+    @pytest.mark.parametrize("solver", ["icp", "gradicp"])
+    def test_recovers_perturbed_pose(self, solver):
+        """Map = the frame's own surface at the true pose; init = perturbed
+        pose. The solver must find the correction back to the true pose."""
+        frame = one_frame()
+        _, _, H, W = frame.shape
+        pts = frame.global_vertex_map.reshape(1, H * W, 3)
+        nrm = frame.global_normal_map.reshape(1, H * W, 3)
+        mask = frame.valid_depth_mask.reshape(1, H * W)
+        maps_pc = Pointclouds(points=pts, normals=nrm,
+                              num_points=mask.sum(-1).astype(jnp.int32))
+        # compact the valid points to the front so nonpad_mask is honest
+        order = jnp.argsort(~mask[0])
+        maps_pc = dataclasses.replace(
+            maps_pc, points=pts[:, order], normals=nrm[:, order])
+        true_pose = frame.poses[0, 0]
+        delta = se3_exp(jnp.asarray([0.02, -0.01, 0.015, 0.01, -0.02, 0.008]))
+        init = (delta @ true_pose)[None, None]
+        prov = ProjectiveOdometryProvider(solver=solver, numiters=15)
+        X = prov.provide(maps_pc, frame.with_poses(init))  # (1, 1, 4, 4)
+        solved = np.asarray(X[0, 0] @ init[0, 0])
+        np.testing.assert_allclose(solved, np.asarray(true_pose), atol=2e-3)
+
+    def test_warm_start_included_in_result(self):
+        """initial_transform warm-start must be included in the returned
+        transform (pyramid levels chain by composition)."""
+        frame = one_frame()
+        _, _, H, W = frame.shape
+        pts = frame.global_vertex_map.reshape(1, H * W, 3)
+        nrm = frame.global_normal_map.reshape(1, H * W, 3)
+        mask = frame.valid_depth_mask.reshape(1, H * W)
+        maps_pc = Pointclouds(points=pts, normals=nrm,
+                              num_points=mask.sum(-1).astype(jnp.int32))
+        true_pose = frame.poses[0, 0]
+        delta = se3_exp(jnp.asarray([0.03, 0.0, 0.0, 0.0, 0.02, 0.0]))
+        init = (delta @ true_pose)[None, None]
+        prov = ProjectiveOdometryProvider(numiters=8)
+        # warm-start with the exact correction: the solve starts at the
+        # optimum and must stay there, returning ~the warm start itself
+        X0 = jnp.linalg.inv(delta)[None]
+        X = prov.provide(maps_pc, frame.with_poses(init),
+                         initial_transform=X0)
+        np.testing.assert_allclose(np.asarray(X[0, 0] @ init[0, 0]),
+                                   np.asarray(true_pose), atol=1e-3)
+
+    def test_differentiable(self):
+        """Gradients flow through the projective solve to the frame depth
+        (the gradSLAM selling point, preserved by the new association)."""
+        frame = one_frame(H=32, W=40)
+        _, _, H, W = frame.shape
+        pts = frame.global_vertex_map.reshape(1, H * W, 3)[0]
+        nrm = frame.global_normal_map.reshape(1, H * W, 3)[0]
+        true_pose = frame.poses[0, 0]
+        delta = se3_exp(jnp.asarray([0.01, 0.0, 0.0, 0.0, 0.01, 0.0]))
+        init = delta @ true_pose
+
+        def loss(depth):
+            fr = dataclasses.replace(frame, depth_image=depth)
+            geom = frame_geom_of(fr)
+            X = point_to_plane_gradICP_projective(
+                pts, nrm, jnp.ones(pts.shape[0], bool), geom,
+                fr.intrinsics[0, 0], init, H, W, numiters=4,
+            )
+            return jnp.sum((X @ init - true_pose) ** 2)
+
+        g = jax.grad(loss)(frame.depth_image)
+        ga = np.asarray(g)
+        assert np.isfinite(ga).all()
+        assert np.abs(ga).max() > 0
+
+
+class TestProjectivePipeline:
+    def test_ate_parity_with_knn(self):
+        B, L, H, W = 1, 8, 60, 80
+        rgb, d, K, poses = synthetic_sequence(B, L, H, W)
+        fr = RGBDImages(jnp.asarray(rgb), jnp.asarray(d), jnp.asarray(K),
+                        jnp.asarray(poses))
+        ates = {}
+        for assoc in ("knn", "projective"):
+            pf = PointFusion(odom="gradicp", odom_assoc=assoc, dsratio=4,
+                             numiters=10, map_capacity=L * H * W)
+            _, op = pf(fr)
+            ates[assoc] = float(ate_rmse(op[0], fr.poses[0]))
+        # both track; projective within 2x of the KNN mode (VERDICT r3 #1)
+        assert ates["knn"] < 1e-3
+        assert ates["projective"] < 2 * max(ates["knn"], 1e-5)
+
+    def test_icpslam_and_pyramid(self):
+        B, L, H, W = 1, 6, 60, 80
+        rgb, d, K, poses = synthetic_sequence(B, L, H, W)
+        fr = RGBDImages(jnp.asarray(rgb), jnp.asarray(d), jnp.asarray(K),
+                        jnp.asarray(poses))
+        s = ICPSLAM(odom="icp", odom_assoc="projective",
+                    pyramid=[(8, 6), (4, 4)], map_capacity=L * H * W)
+        _, op = s(fr)
+        assert float(ate_rmse(op[0], fr.poses[0])) < 1e-3
+
+    def test_normal_gate_rescues_hard_clip(self):
+        """On the noisy-depth hard clip the pure distance gate admits
+        wrong-surface candidates (design.md §4); the projective normal gate
+        rejects them. The gated ATE must land in the KNN-tuned band and beat
+        the ungated run."""
+        B, L, H, W = 1, 12, 120, 160
+        rgb, d, K, poses = hard_sequence(B, L, H, W)
+        fr = RGBDImages(jnp.asarray(rgb), jnp.asarray(d), jnp.asarray(K),
+                        jnp.asarray(poses))
+        ates = {}
+        for gate in (None, 60.0):
+            pf = PointFusion(odom="gradicp", odom_assoc="projective",
+                             odom_angle_gate=gate, dsratio=4, numiters=10,
+                             map_capacity=L * H * W, **TUNED)
+            _, op = pf(fr)
+            ates[gate] = float(ate_rmse(op[0], fr.poses[0]))
+        assert ates[60.0] < 0.03  # committed: 0.0169 (KNN tuned: 0.0162)
+        assert ates[60.0] < ates[None]
+
+    def test_validation(self):
+        with pytest.raises(ValueError, match="odom_assoc"):
+            ICPSLAM(odom="gradicp", odom_assoc="nearest")
+        with pytest.raises(ValueError, match="projective"):
+            ICPSLAM(odom="gradicp", odom_angle_gate=60.0)
+        with pytest.raises(ValueError, match="odom_angle_gate"):
+            ICPSLAM(odom="gradicp", odom_assoc="projective",
+                    odom_angle_gate=-5.0)
+        with pytest.raises(ValueError, match="solver"):
+            ProjectiveOdometryProvider(solver="lm")
+        with pytest.raises(ValueError, match="dot_gate"):
+            ProjectiveOdometryProvider(dot_gate=2.0)
+        frame = one_frame()
+        pc_nonorm = Pointclouds(points=jnp.zeros((1, 8, 3)),
+                                num_points=jnp.asarray([8]))
+        prov = ProjectiveOdometryProvider()
+        with pytest.raises(ValueError, match="normals"):
+            prov.provide(pc_nonorm, frame)
+        pc = Pointclouds(points=jnp.zeros((1, 8, 3)),
+                         normals=jnp.zeros((1, 8, 3)),
+                         num_points=jnp.asarray([8]))
+        with pytest.raises(ValueError, match="poses"):
+            prov.provide(pc, dataclasses.replace(frame, poses=None))
+        with pytest.raises(TypeError, match="RGBDImages"):
+            prov.provide(pc, pc)
+        pc2 = Pointclouds(points=jnp.zeros((2, 8, 3)),
+                          normals=jnp.zeros((2, 8, 3)),
+                          num_points=jnp.asarray([8, 8]))
+        with pytest.raises(ValueError, match="[Bb]atch"):
+            prov.provide(pc2, frame)
+        with pytest.raises(ValueError, match="lookahead"):
+            ProjectiveOdometryProvider(lookahead_assoc="stale").provide(
+                pc, frame)
+        with pytest.raises(ValueError, match="numiters"):
+            ProjectiveOdometryProvider(numiters=0).provide(pc, frame)

@@ -166,6 +166,25 @@ class TestLocalizeMapUpdateDecomposition:
         np.testing.assert_array_equal(np.asarray(pc_fused.num_points),
                                       np.asarray(pc_step.num_points))
 
+    def test_decomposition_with_normal_pitch(self, tracked_run):
+        """map_update must fuse the SAME pitch-k normals step() fuses when
+        the pipeline overrides normal_pitch (regression: map_update used to
+        skip _with_normal_pitch and silently fuse pitch-1 normals)."""
+        frames, pc, op, L = tracked_run
+        pf = PointFusion(odom="gradicp", dsratio=4, numiters=10,
+                         map_capacity=pc.capacity, normal_pitch=2, **TUNED)
+        prev = frames[:, L - 2].with_poses(op[:, L - 2][:, None])
+        live = frames[:, L - 1]
+        pc_step, poses_step = pf.step(pc, live, prev)
+        poses_loc = pf.localize(pc, live, prev)
+        pc_fused = pf.map_update(pc, live.with_poses(poses_loc))
+        np.testing.assert_allclose(np.asarray(poses_loc),
+                                   np.asarray(poses_step), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(pc_fused.normals),
+                                   np.asarray(pc_step.normals), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(pc_fused.points),
+                                   np.asarray(pc_step.points), atol=1e-6)
+
     def test_localize_validation(self, tracked_run):
         frames, pc, op, L = tracked_run
         prev = frames[:, L - 2].with_poses(op[:, L - 2][:, None])
