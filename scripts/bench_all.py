@@ -79,7 +79,14 @@ def run(out_path=None):
         t0 = time.perf_counter()
         compiled = lowered.compile()
         compile_s = time.perf_counter() - t0
-        return compiled, round(trace_s, 2), round(compile_s, 2)
+        # warm_compile_s: compile the SAME program again through the
+        # persistent cache (fresh lowering, so nothing in-process is
+        # reused). This is what a re-run of the script pays (VERDICT r3 #3).
+        t0 = time.perf_counter()
+        jit_fn.lower(*args).compile()
+        warm_compile_s = time.perf_counter() - t0
+        return compiled, round(trace_s, 2), round(compile_s, 2), round(
+            warm_compile_s, 2)
 
     def measure_fps(go, args, iters, readback, frames_per_run):
         t0 = time.perf_counter()
@@ -96,7 +103,7 @@ def run(out_path=None):
             pc, op = slam(fr)
             return pc, op, pc.num_points[0] + op[0, -1, 0, 3]
 
-        go, trace_s, compile_s = aot(go_jit, frames)
+        go, trace_s, compile_s, warm_compile_s = aot(go_jit, frames)
         hbm_gb = _hbm_gb(go)
 
         pc, op, c = go(frames)
@@ -115,6 +122,7 @@ def run(out_path=None):
             "unit": "frames/s",
             "trace_s": trace_s,
             "compile_s": compile_s,
+            "warm_compile_s": warm_compile_s,
         }
         if baseline:
             entry["vs_baseline"] = round(fps / baseline, 1)
@@ -178,6 +186,13 @@ def run(out_path=None):
                          quantize_colors=True)
     timed("PointFusion(gradicp, reuse+quantized) 320x240 frames/s", gicp_q,
           frames, B, L, baseline=0.323, ate=True)
+    # PROJECTIVE data association (odom_assoc='projective', VERDICT r3 #1):
+    # frame-to-model association by map->frame projection + row gather —
+    # O(N) per iteration, no KNN anywhere. Same solver/robustness knobs.
+    gicp_proj = PointFusion(odom="gradicp", odom_assoc="projective",
+                            dsratio=4, numiters=10, map_capacity=gicp_sched)
+    timed("PointFusion(gradicp, projective) 320x240 frames/s", gicp_proj,
+          frames, B, L, baseline=0.323, ate=True)
     # coarse-to-fine odometry: 6 iters at ds=8 + 2 at ds=4 replaces 10 at
     # ds=4 (KNN cost ~1/ds^4 per iteration). Schedule picked by a measured
     # sweep (v5e): 8:8+4:3 155.9 fps, 8:8+4:2 170.8, 8:6+4:2 175.9,
@@ -197,11 +212,16 @@ def run(out_path=None):
     # scripts/measure_baseline.py --tracked-640 (same dsratio=4/numiters=10).
     baseline_path = os.path.join(REPO, "MEASURED_BASELINE.json")
     tb640 = None
+    hard_base = None
     if os.path.exists(baseline_path):
         with open(baseline_path) as f:
-            tb640 = json.load(f).get("tracked_baselines", {}).get(
-                "pointfusion_gradicp_640x480_fps"
-            )
+            _mb = json.load(f)
+        tb640 = _mb.get("tracked_baselines", {}).get(
+            "pointfusion_gradicp_640x480_fps"
+        )
+        # reference CPU on the same hard clip (plain LS; its ATE is recorded
+        # in MEASURED_BASELINE.json hard_clip_baseline.ate_m — VERDICT r3 #8)
+        hard_base = _mb.get("hard_clip_baseline", {}).get("reference_fps")
     B, L, H, W = 1, 30, 480, 640
     rgb, depths, intrinsics, poses = _synthetic_frames_arrays(B, L, H, W)
     frames = RGBDImages(
@@ -220,6 +240,18 @@ def run(out_path=None):
                             map_capacity=sched640)
     timed("PointFusion(gradicp, pyramid 8:6+4:2, reuse+quantized) 640x480 frames/s",
           gicp640_p, frames, B, L, iters=2, baseline=tb640, ate=True)
+    # projective association at the north-star operating point: the KNN-free
+    # mode's headline rows (VERDICT r3 #1 'done' bar: plain >= 30 fps,
+    # production >= 60 fps, ATE within 2x of the KNN rows above).
+    gicp640_proj = PointFusion(odom="gradicp", odom_assoc="projective",
+                               dsratio=4, numiters=10, map_capacity=sched640)
+    timed("PointFusion(gradicp, projective) 640x480 frames/s", gicp640_proj,
+          frames, B, L, iters=2, baseline=tb640, ate=True)
+    gicp640_proj_q = PointFusion(odom="gradicp", odom_assoc="projective",
+                                 dsratio=4, numiters=10, quantize_colors=True,
+                                 map_capacity=sched640)
+    timed("PointFusion(gradicp, projective, quantized) 640x480 frames/s",
+          gicp640_proj_q, frames, B, L, iters=2, baseline=tb640, ate=True)
 
     # Hard accuracy clip (VERDICT r2 #4): 6 cm/frame accelerating camera,
     # 5 mm depth noise, ~12% frame-inconsistent outlier patches biased up to
@@ -266,7 +298,7 @@ def run(out_path=None):
             kw.update(dsratio=4, numiters=10)
         hslam = PointFusion(odom="gradicp", map_capacity=hard_cap, **kw)
         timed(f"PointFusion(gradicp, {name}) hard-clip 160x120 frames/s",
-              hslam, frames, B, L, iters=2, ate=True)
+              hslam, frames, B, L, iters=2, baseline=hard_base, ate=True)
 
     # hard clip at 320x240 — tracks ONLY with the wider normal baseline
     # (normal_pitch=2; pitch 1 is ~0.29 m here no matter the config)
@@ -302,6 +334,19 @@ def run(out_path=None):
     )
     timed("PointFusion(gradicp, tuned ds8+normal_pitch=4) hard-clip 640x480 "
           "frames/s", hslam, frames, B, L, iters=2, ate=True)
+    # projective + normal gate at DENSE ds4 — the association-density wall
+    # that forced ds8 on the KNN mode (wrong-surface candidates inside the
+    # distance gate, design.md §4) is gated out by the per-association frame
+    # normal check, which the KNN mode cannot express (VERDICT r3 #5).
+    hslam_proj = PointFusion(
+        odom="gradicp", odom_assoc="projective", odom_angle_gate=60.0,
+        dsratio=4, numiters=10, map_capacity=L * H * W,
+        motion_model="constant_velocity", robust_loss="tukey",
+        robust_scale=0.03, dist_thresh=0.01, normal_pitch=4,
+    )
+    timed("PointFusion(gradicp, projective+gate ds4+normal_pitch=4) "
+          "hard-clip 640x480 frames/s", hslam_proj, frames, B, L, iters=2,
+          ate=True)
 
     # config 4: large map / long sequence (BASELINE.md #4 analogue — no
     # ScanNet data in this environment, so the same procedural scene with a
@@ -378,7 +423,7 @@ def run(out_path=None):
                f"(remat={'on' if remat else 'off'})")
         try:
             grad_jit = jax.jit(jax.grad(loss_fn, argnums=(0, 1)))
-            grad_c, trace_s, compile_s = aot(grad_jit, d0, K0)
+            grad_c, trace_s, compile_s, warm_compile_s = aot(grad_jit, d0, K0)
             hbm_gb = _hbm_gb(grad_c)
             g = grad_c(d0, K0)
             gd = float(np.abs(np.asarray(g[0])).max())
@@ -392,6 +437,7 @@ def run(out_path=None):
                 "unit": "frames/s",
                 "trace_s": trace_s,
                 "compile_s": compile_s,
+                "warm_compile_s": warm_compile_s,
             }
             if hbm_gb is not None:
                 entry["hbm_gb"] = hbm_gb
@@ -403,6 +449,58 @@ def run(out_path=None):
                 "unit": "frames/s",
                 "error": f"{type(e).__name__}: {str(e)[:200]}",
             })
+
+    # tracked-gradient benchmark (VERDICT r3 #6): the framework's
+    # differentiating claim is gradients THROUGH gradICP — price the backward
+    # of the tracked pipeline where it is expensive, not just the gt path.
+    for (H, W, res_tag, remats) in ((240, 320, "320x240", (False, True)),
+                                    (480, 640, "640x480", (False, True))):
+        B, L = 1, 30
+        rgb, depths, intrinsics, poses = _synthetic_frames_arrays(B, L, H, W)
+        d0, K0 = jnp.asarray(depths), jnp.asarray(intrinsics)
+        rgb_j, poses_j = jnp.asarray(rgb), jnp.asarray(poses)
+        cap = 147_456 if W == 320 else 540_672
+        for remat in remats:
+            slam = PointFusion(odom="gradicp", dsratio=4, numiters=10,
+                               use_jit=False, remat=remat, map_capacity=cap)
+
+            def loss_fn(d, K):
+                fr = RGBDImages(rgb_j, d, K, poses_j)
+                pc, traj = slam.forward(fr)
+                return jnp.sum(pc.points**2)
+
+            tag = (f"grad(PointFusion(gradicp)) {res_tag} 30-frame backward "
+                   f"(remat={'on' if remat else 'off'})")
+            try:
+                grad_jit = jax.jit(jax.grad(loss_fn, argnums=(0, 1)))
+                grad_c, trace_s, compile_s, warm_compile_s = aot(
+                    grad_jit, d0, K0)
+                hbm_gb = _hbm_gb(grad_c)
+                g = grad_c(d0, K0)
+                gd = float(np.abs(np.asarray(g[0])).max())
+                gk = float(np.abs(np.asarray(g[1])).max())
+                assert np.isfinite(gd) and np.isfinite(gk), (gd, gk)
+                assert gd > 0, "zero gradient to depth through gradICP"
+                entry = {
+                    "metric": tag,
+                    "value": measure_fps(
+                        grad_c, (d0, K0), 2,
+                        lambda g: float(g[0].ravel()[0]), B * L),
+                    "unit": "frames/s",
+                    "trace_s": trace_s,
+                    "compile_s": compile_s,
+                    "warm_compile_s": warm_compile_s,
+                }
+                if hbm_gb is not None:
+                    entry["hbm_gb"] = hbm_gb
+                record(entry)
+            except Exception as e:  # OOM with remat off is a valid finding
+                record({
+                    "metric": tag,
+                    "value": None,
+                    "unit": "frames/s",
+                    "error": f"{type(e).__name__}: {str(e)[:200]}",
+                })
 
     out_path = out_path or _default_out()
     payload = {

@@ -81,6 +81,39 @@ def measure_tracked_640(B=1, L=30, H=480, W=640, dsratio=4, numiters=10,
     return fps, dt, [p.shape[0] for p in pc.points_list], ate
 
 
+def measure_hard_clip(B=1, L=30, H=120, W=160, dsratio=4, numiters=10,
+                      warmup_frames=2):
+    """Hard accuracy clip (gradslam_tpu.datasets.hard_sequence: 6 cm/frame
+    accelerating camera, 5 mm depth noise, outlier patches) through the
+    REFERENCE pipeline — plain least squares, the only solver it has
+    (VERDICT r3 #8). Anchors the accuracy-vs-throughput story: does the
+    reference's tracking also blow up on this clip? Records fps AND ATE."""
+    from gradslam.slam.pointfusion import PointFusion
+    from gradslam.structures.rgbdimages import RGBDImages
+
+    from gradslam_tpu.datasets import hard_sequence
+
+    rgb, depths, intrinsics, poses = hard_sequence(B, L, H, W)
+    frames = RGBDImages(
+        torch.from_numpy(rgb),
+        torch.from_numpy(depths),
+        torch.from_numpy(intrinsics),
+        torch.from_numpy(poses),
+        channels_first=False,
+    )
+    slam = PointFusion(odom="gradicp", dsratio=dsratio, numiters=numiters)
+    with torch.no_grad():
+        slam(frames[:, :warmup_frames])
+        t0 = time.perf_counter()
+        pc, out_poses = slam(frames)
+        dt = time.perf_counter() - t0
+    fps = (B * L) / dt
+    traj = out_poses[0].numpy()
+    err = traj[:, :3, 3] - poses[0][:, :3, 3]
+    ate = float(np.sqrt((err**2).sum(-1).mean()))
+    return fps, dt, [p.shape[0] for p in pc.points_list], ate
+
+
 def measure_large_map(B=1, L=60, H=480, W=640, speed=4.0, warmup_frames=2):
     """BASELINE.md config #4 analogue: long sequence, fast camera — the map
     grows into the millions of points (reference entry point:
@@ -132,6 +165,19 @@ if __name__ == "__main__":
             "wall_s": tdt,
             "map_counts": tcounts,
             "ate_m": tate,
+        }
+    elif "--hard-clip" in sys.argv:
+        hfps, hdt, hcounts, hate = measure_hard_clip()
+        result["hard_clip_baseline"] = {
+            "config": (
+                "PointFusion + GradICP (plain LS — all the reference has), "
+                "30 frames hard clip 160x120, batch 1, dsratio=4, "
+                "numiters=10"
+            ),
+            "reference_fps": hfps,
+            "wall_s": hdt,
+            "map_counts": hcounts,
+            "ate_m": hate,
         }
     elif "--large-map" in sys.argv:
         lfps, ldt, lcounts = measure_large_map()
