@@ -31,6 +31,11 @@ parser.add_argument(
     "of map rows (constant odometry cost per frame on long sequences; "
     "default: whole-map reference semantics).",
 )
+parser.add_argument(
+    "--odom-assoc", type=str, default="knn", choices=["knn", "projective"],
+    help="Odometry data association: 'knn' (reference semantics) or "
+    "'projective' (KNN-free frame-to-model; O(N) per iteration).",
+)
 parser.add_argument("--visualize", action="store_true")
 args = parser.parse_args()
 
@@ -58,7 +63,8 @@ def main():
     poses = jnp.asarray(np.stack([s[3] for s in samples]))
 
     frames = RGBDImages(colors, depths, intrinsics, poses)
-    slam = ICPSLAM(odom=args.odometry, icp_window_frames=args.icp_window_frames)
+    slam = ICPSLAM(odom=args.odometry, odom_assoc=args.odom_assoc,
+                   icp_window_frames=args.icp_window_frames)
     pointclouds, recovered_poses = slam(frames)
     print("map points per sequence:", np.asarray(pointclouds.num_points))
     for b in range(len(samples)):

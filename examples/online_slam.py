@@ -60,6 +60,16 @@ parser.add_argument(
     "--health-every telemetry.",
 )
 parser.add_argument(
+    "--odom-assoc", type=str, default="knn", choices=["knn", "projective"],
+    help="Odometry data association: 'knn' (reference semantics) or "
+    "'projective' (KNN-free frame-to-model; O(N) per iteration). The "
+    "--health-every telemetry follows the same association.",
+)
+parser.add_argument(
+    "--odom-angle-gate", type=float, default=None,
+    help="Normal-compatibility gate (degrees) for --odom-assoc projective.",
+)
+parser.add_argument(
     "--motion-model", type=str, default="static",
     choices=["static", "constant_velocity"],
     help="odometry initialization: zero-motion (default) or the "
@@ -122,7 +132,9 @@ def main():
     cls = PointFusion if args.pipeline == "pointfusion" else ICPSLAM
     capacity = args.map_capacity or L * args.height * args.width
     pyramid = parse_pyramid(args.pyramid)
-    slam = cls(odom=args.odometry, map_capacity=capacity, pyramid=pyramid,
+    slam = cls(odom=args.odometry, odom_assoc=args.odom_assoc,
+               odom_angle_gate=args.odom_angle_gate,
+               map_capacity=capacity, pyramid=pyramid,
                robust_loss=args.robust_loss, robust_scale=args.robust_scale,
                dist_thresh=args.dist_thresh)
 
@@ -186,7 +198,8 @@ def main():
                                      prev_transform=prev_transform)
             h = tracking_health(pc, live.with_poses(new_pose),
                                 robust_scale=args.robust_scale,
-                                dist_thresh=args.dist_thresh)
+                                dist_thresh=args.dist_thresh,
+                                method=args.odom_assoc)
             inl = float(h["inlier_frac"][0])
             if inl < args.relocalize_below:
                 anchors = jnp.concatenate([
@@ -246,6 +259,7 @@ def main():
                 pc, frame(s, new_pose),
                 robust_scale=args.robust_scale,
                 dist_thresh=args.dist_thresh,
+                method=args.odom_assoc,
             )
             print(
                 f"  health: inliers {float(h['inlier_frac'][0]):.2f} "

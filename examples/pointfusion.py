@@ -70,6 +70,25 @@ parser.add_argument(
     "(measured: rescues 320x240 tracking under 5 mm noise, 0.34 m -> 18 mm "
     "ATE). Default: reference-parity pitch 1.",
 )
+parser.add_argument(
+    "--odom-assoc", type=str, default="knn", choices=["knn", "projective"],
+    help="Odometry data association: 'knn' (reference semantics, O(N*M) "
+    "nearest-neighbour per iteration) or 'projective' (KNN-free "
+    "frame-to-model: project the map window into the live camera and read "
+    "the frame at the landed pixel — O(N) per iteration).",
+)
+parser.add_argument(
+    "--odom-angle-gate", type=float, default=None,
+    help="Normal-compatibility gate (degrees) for --odom-assoc projective: "
+    "rejects wrong-surface associations a pure distance gate admits "
+    "(~60 is a good default on noisy depth).",
+)
+parser.add_argument(
+    "--relocalize-below", type=float, default=0.0,
+    help="In-scan failure branch: when the per-frame tracking-health "
+    "inlier fraction drops below this, a multi-hypothesis relocalization "
+    "runs inside the compiled forward (0 = off; 0.2-0.5 useful).",
+)
 parser.add_argument("--visualize", action="store_true")
 args = parser.parse_args()
 
@@ -123,6 +142,9 @@ def main():
         dist_thresh=args.dist_thresh,
         motion_model=args.motion_model,
         normal_pitch=args.normal_pitch,
+        odom_assoc=args.odom_assoc,
+        odom_angle_gate=args.odom_angle_gate,
+        relocalize_below=args.relocalize_below,
     )
     pointclouds, recovered_poses = slam(frames)
     if args.quantize_colors:

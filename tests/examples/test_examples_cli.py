@@ -78,6 +78,17 @@ class TestExampleCLIs:
         assert "map points per sequence" in r.stdout
         assert "WARNING: map overflowed" not in r.stdout
 
+    def test_pointfusion_projective_flags(self, fake_tum):
+        r = run_example(
+            "pointfusion.py", "--dataset", "tum", "--dataset_path", fake_tum,
+            "--odometry", "gradicp", "--seqlen", "4", "--batch_size", "1",
+            "--height", "24", "--width", "32",
+            "--odom-assoc", "projective", "--odom-angle-gate", "60",
+            "--relocalize-below", "0.2",
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "map points per sequence" in r.stdout
+
     def test_icpslam_reports_ate(self, fake_tum):
         r = run_example(
             "icpslam.py", "--dataset", "tum", "--dataset_path", fake_tum,
