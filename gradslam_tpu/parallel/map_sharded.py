@@ -51,13 +51,18 @@ from ..geometry.geometryutils import (
     inverse_transformation,
     orthonormalize_rotations,
 )
+from ..geometry.se3utils import se3_exp
 from ..odometry.icputils import (
+    _ptp_system,
+    _safe_sqrt,
     point_to_plane_ICP,
     point_to_plane_gradICP,
     validate_pyramid,
     validate_robust,
 )
+from ..odometry.projective import projective_associate
 from ..ops import nn_points_auto
+from ..utils.precision import matmul_hp
 from ..slam.fusionutils import (
     _project_map_points,
     get_alpha,
@@ -201,12 +206,28 @@ class MapShardedPointFusion:
         odom: 'gt' (poses given), 'icp' or 'gradicp' (frame-to-map tracking
             with the solver replicated across shards and the ICP target
             all-gathered from per-shard active windows).
+        odom_assoc: ``'knn'`` (default; all-gathered window, per-iteration
+            KNN) or ``'projective'`` — each shard builds point-to-plane rows
+            for its OWN window by projection+gather against the replicated
+            frame image and only the 6x6 normal equations are psum-folded
+            (~230 bytes/iteration; no window collective at all).
+        odom_angle_gate: optional maximum angle (degrees) between the frame
+            normal at the landed pixel and the map normal
+            (``odom_assoc='projective'`` only; see
+            :class:`gradslam_tpu.ICPSLAM`).
         pyramid: optional coarse-to-fine ``[(dsratio, numiters), ...]``
             schedule (see :class:`gradslam_tpu.ICPSLAM`) — each level
             all-gathers its own target window and warm-starts the next.
         icp_capacity: per-shard active-window size for the ICP target
             (default: the single-device window ``2*ceil(H/ds)*ceil(W/ds)`` —
             sized so even a maximally imbalanced shard fits its actives).
+            Note the K shards therefore hold up to K× the single-device
+            window: when the active set OVERFLOWS the single-device window,
+            the sharded solve keeps rows the single-device solve truncates
+            (a strictly larger association set). Exact single-device
+            trajectory equality under overflow requires matching the TOTAL
+            capacity (e.g. ``icp_capacity = single_device_capacity``
+            on both).
         motion_model: ``'static'`` (default) or ``'constant_velocity'`` —
             same semantics as :class:`gradslam_tpu.ICPSLAM`.
         dist_th / angle_th / sigma and the solver parameters match
@@ -221,6 +242,8 @@ class MapShardedPointFusion:
         axis_name: str = "map",
         batch_axis: Optional[str] = None,
         odom: str = "gt",
+        odom_assoc: str = "knn",
+        odom_angle_gate: Optional[float] = None,
         dsratio: int = 4,
         numiters: int = 20,
         pyramid: Optional[list] = None,
@@ -245,6 +268,26 @@ class MapShardedPointFusion:
     ):
         if odom not in ("gt", "icp", "gradicp"):
             raise ValueError(f"Odometry method ({odom}) not supported.")
+        if odom_assoc not in ("knn", "projective"):
+            raise ValueError(
+                f"Unknown odom_assoc: {odom_assoc!r}. "
+                "Expected 'knn' or 'projective'."
+            )
+        self.odom_assoc = odom_assoc
+        if odom_angle_gate is not None:
+            if odom_assoc != "projective":
+                raise ValueError(
+                    "odom_angle_gate requires odom_assoc='projective'."
+                )
+            if not (0 < odom_angle_gate <= 180):
+                raise ValueError(
+                    f"odom_angle_gate must be in (0, 180] degrees or None. "
+                    f"Got {odom_angle_gate}."
+                )
+        self.odom_dot_gate = (
+            None if odom_angle_gate is None
+            else math.cos(math.radians(odom_angle_gate))
+        )
         if normal_pitch is not None and (
             not isinstance(normal_pitch, int) or normal_pitch < 1
         ):
@@ -422,25 +465,32 @@ class MapShardedPointFusion:
             poses_in = jnp.broadcast_to(
                 jnp.eye(4, dtype=frames.depth_image.dtype), (L, B, 4, 4))
 
+        projective = tracked and self.odom_assoc == "projective"
         if tracked:
-            # Strided local frame clouds for ICP (reference icputils.py:623),
-            # one per pyramid level (single level = flat dsratio/numiters).
+            # one level per pyramid entry (single level = flat
+            # dsratio/numiters); per-shard window capacities per level
             levels = self.pyramid or [(ds, self.numiters)]
-            sls, svs, wins = [], [], []
+            wins = [
+                self.icp_capacity if self.icp_capacity is not None
+                else 2 * math.ceil(H / ds_l) * math.ceil(W / ds_l)
+                for ds_l, _n in levels
+            ]
+        else:
+            levels = []
+            wins = []
+        if tracked and not projective:
+            # Strided local frame clouds for ICP (reference icputils.py:623),
+            # one per pyramid level. The projective mode needs none of this —
+            # its association target is the frame image already in lv/ln.
+            sls, svs = [], []
             for ds_l, _n in levels:
                 sl_l = frames.vertex_map[:, :, ::ds_l, ::ds_l].reshape(B, L, -1, 3)
                 sv_l = frames.valid_depth_mask[:, :, ::ds_l, ::ds_l].reshape(B, L, -1)
                 sls.append(jnp.moveaxis(sl_l, 1, 0))  # (L, B, Nf_l, 3)
                 svs.append(jnp.moveaxis(sv_l, 1, 0))
-                wins.append(
-                    self.icp_capacity if self.icp_capacity is not None
-                    else 2 * math.ceil(H / ds_l) * math.ceil(W / ds_l)
-                )
             sl, sv = tuple(sls), tuple(svs)
         else:
-            levels = []
             sl = sv = None
-            wins = []
 
         dist_th, dot_th = self.dist_th, self.dot_th
         GCAP = jnp.int32(K * C)
@@ -609,6 +659,141 @@ class MapShardedPointFusion:
                         tmask, T)
                 return compose_transformations(T, pose_prev)
 
+            # ---- projective frame-to-map odometry, map-sharded ----------
+            # Each shard builds point-to-plane rows for ITS OWN window rows
+            # (one streaming projection + one packed row gather against the
+            # replicated frame image per iteration) and the 6x6 normal
+            # equations are psum-folded — ~230 bytes of collective per
+            # iteration instead of the KNN path's all-gathered windows
+            # (K * win * 32 bytes per level). The solver state stays
+            # replicated because every shard folds identical psum results.
+            rb_loss, rb_scale = self.robust_loss, self.robust_scale
+            dthr = self.dist_thresh
+            dgate = self.odom_dot_gate
+            lam_max = self.lambda_max
+            lam_min = 1.0 / self.lambda_max
+            B_lm, B2_lm, nu_lm = self.B_lm, self.B2, self.nu
+            reuse_la = self.lookahead_assoc == "reuse"
+            is_lm = self.odom == "icp"
+
+            def _proj_rows(m_pts, m_nrm, m_mask, fgeo, pose):
+                """Batched association + masked point-to-plane rows."""
+                def one(mp, mn, mm, fg, Kmat, po):
+                    s, val = projective_associate(
+                        mp, mn, mm, fg, Kmat, po, H, W, dthr, dgate)
+                    A, b = _ptp_system(s, mp, mn, val, rb_loss, rb_scale)
+                    return s, val, A, b
+
+                return jax.vmap(one)(m_pts, m_nrm, m_mask, fgeo, intr, pose)
+
+            def _psum_err(b):
+                return jax.lax.psum(jnp.sum(b * b, axis=(1, 2)), axis)
+
+            def _guard_global(xi, A, s, val):
+                """Global robust-step guard (icputils._guard_robust_step
+                semantics with the cloud statistics psum/pmax-folded so every
+                shard scales the step identically)."""
+                wmass = jax.lax.psum(
+                    jnp.sum(A[..., :3] ** 2, axis=(1, 2)), axis)  # (B,)
+                n_rows = jax.lax.psum(
+                    jnp.full((), val.shape[-1], jnp.float32), axis)
+                mass_floor = jnp.minimum(12.0, 0.5 * n_rows)
+                fade = jnp.minimum(1.0, wmass / mass_floor)
+                m = val.astype(s.dtype)[..., None]
+                cnt = jax.lax.psum(jnp.sum(m, axis=1), axis)  # (B, 1)
+                c = jax.lax.psum(jnp.sum(s * m, axis=1), axis) / jnp.maximum(
+                    cnt, 1.0)  # (B, 3)
+                r2 = jax.lax.pmax(
+                    jnp.max(jnp.sum(((s - c[:, None]) * m) ** 2, -1), axis=1),
+                    axis)  # (B,)
+                radius = 10.0 * rb_scale  # icputils._TRUST_RADIUS_SCALES
+                v_t, w_t = xi[:, :3, 0], xi[:, 3:, 0]
+                disp = (
+                    _safe_sqrt(jnp.sum((v_t + jnp.cross(w_t, c)) ** 2, -1))
+                    + _safe_sqrt(jnp.sum(w_t * w_t, -1)) * _safe_sqrt(r2)
+                )
+                trust = radius / jnp.maximum(disp, radius)
+                return xi * (fade * trust)[:, None, None]
+
+            def _solve_level_projective(m_pts, m_nrm, m_mask, fgeo,
+                                        pose_prev, X0, n_iters):
+                eye6 = jnp.eye(6, dtype=m_pts.dtype)
+
+                def body(carry, _):
+                    X, dampv = carry
+                    pose = matmul_hp(X, pose_prev)
+                    s, val, A, b = _proj_rows(m_pts, m_nrm, m_mask, fgeo, pose)
+                    At = jnp.swapaxes(A, -1, -2)
+                    AtA = jax.lax.psum(matmul_hp(At, A), axis)
+                    Atb = jax.lax.psum(matmul_hp(At, b), axis)
+                    err = _psum_err(b)
+                    xi = jnp.linalg.solve(
+                        AtA + dampv[:, None, None] * eye6[None], Atb)
+                    if rb_loss is not None:
+                        xi = _guard_global(xi, A, s, val)
+                    rT = se3_exp(xi[:, :, 0])  # (B, 4, 4), batched
+                    one_step = matmul_hp(rT, X)
+                    if reuse_la:
+                        s1 = jnp.einsum(
+                            "bij,bnj->bni", rT[:, :3, :3], s
+                        ) + rT[:, None, :3, 3]
+                        val1 = val
+                        if dthr is not None:
+                            val1 = val1 & (
+                                jnp.sum((s1 - m_pts) ** 2, -1) < dthr)
+                        _, b1 = jax.vmap(
+                            lambda ss, mp, mn, vv: _ptp_system(
+                                ss, mp, mn, vv, rb_loss, rb_scale)
+                        )(s1, m_pts, m_nrm, val1)
+                    else:
+                        pose1 = matmul_hp(one_step, pose_prev)
+                        _, _, _, b1 = _proj_rows(
+                            m_pts, m_nrm, m_mask, fgeo, pose1)
+                    err1 = _psum_err(b1)
+                    if is_lm:  # classic LM accept/reject
+                        accept = err1 < err
+                        X_new = jnp.where(accept[:, None, None], one_step, X)
+                        damp_new = jnp.where(accept, dampv / 2.0, dampv * 2.0)
+                    else:  # gradLM smooth blending (reference :496-543)
+                        errdiff = jnp.clip(err1 - err, -70.0, 70.0)
+                        dmul = lam_min + (lam_max - lam_min) / (
+                            1.0 + jnp.exp(-B_lm * errdiff))
+                        sig = 1.0 / (
+                            1.0 + jnp.exp(-B2_lm * errdiff)) ** (1.0 / nu_lm)
+                        scaled = se3_exp(sig[:, None] * xi[:, :, 0])
+                        X_new = matmul_hp(scaled, X)
+                        damp_new = dampv * dmul
+                    return (X_new, damp_new), None
+
+                damp0 = jnp.full((X0.shape[0],), self.damp, m_pts.dtype)
+                (X, _), _ = jax.lax.scan(body, (X0, damp0), None,
+                                         length=n_iters)
+                return X
+
+            def localize_projective(state, pose_prev, v, n, vd):
+                pts, nrm, _col, _feat, nloc, _nd = state
+                nonpad = lidx < nloc[:, None]
+                vdf = vd[..., None].astype(v.dtype)
+                fgeo = jnp.concatenate(
+                    [v, n, vdf, jnp.zeros_like(vdf)], axis=-1)  # (B, HW, 8)
+                packed6 = jnp.concatenate([pts, nrm], axis=-1)  # (B, C, 6)
+                valid0, pix0 = _project_map_points(
+                    pts, nonpad, pose_prev, intr, H, W)
+                ph0, pw0 = pix0 // W, pix0 % W
+                X = jnp.broadcast_to(
+                    jnp.eye(4, dtype=pts.dtype), pose_prev.shape)
+                for li, (ds_l, n_l) in enumerate(levels):
+                    keep = valid0 & (ph0 % ds_l == 0) & (pw0 % ds_l == 0)
+                    window, counts = compact_masked(packed6, keep, wins[li])
+                    wmask = (
+                        jnp.arange(wins[li], dtype=jnp.int32)[None]
+                        < counts[:, None]
+                    )
+                    X = _solve_level_projective(
+                        window[..., :3], window[..., 3:6], wmask, fgeo,
+                        pose_prev, X, n_l)
+                return compose_transformations(X, pose_prev)
+
             # ---- frame 0: fuse at the bootstrap pose ----
             zeros3 = jnp.zeros((B, C, 3), jnp.float32)
             state0 = (zeros3, zeros3,
@@ -653,7 +838,10 @@ class MapShardedPointFusion:
                         )
                         if cv else prev_pose
                     )
-                    pose = localize(st, pred, s_loc, s_valid)
+                    if projective:
+                        pose = localize_projective(st, pred, v, n, vd)
+                    else:
+                        pose = localize(st, pred, s_loc, s_valid)
                     gv, gn = globalize(pose, v, n, vd)
                     st = fuse(st, pose, gv, gn, c, a, vd, uf)
                     delta = (

@@ -331,13 +331,24 @@ class TestCollectiveVolume:
         frames = synthetic_frames(B, L=L, H=H, W=W)
         small = MapShardedPointFusion(map_capacity=8 * 256, mesh=mesh)
         big = MapShardedPointFusion(map_capacity=8 * 2048, mesh=mesh)
-        v_small, ops_small = cr.collective_volume(small._forward_impl, frames)
-        v_big, ops_big = cr.collective_volume(big._forward_impl, frames)
+        v_small, ops_small, _, _ = cr.collective_volume(
+            small._forward_impl, frames)
+        v_big, ops_big, _, _ = cr.collective_volume(big._forward_impl, frames)
         assert v_small == v_big  # capacity-independent
         # exactly the documented winner tables: 2 fusion sites x 3 tables,
         # each (K, B, H*W) 4-byte
         assert len(ops_small) == 6
         assert v_small == 2 * 3 * 8 * B * H * W * 4
+        # projective odometry: NO window all_gather (fusion tables only) and
+        # the psum-folded normal equations are a few hundred bytes
+        # (AtA 6x6 + Atb 6x1 + two error scalars per iteration)
+        proj = MapShardedPointFusion(
+            map_capacity=8 * 256, mesh=mesh, odom="gradicp",
+            odom_assoc="projective", dsratio=2, numiters=2,
+        )
+        vg, opsg, vr, opsr = cr.collective_volume(proj._forward_impl, frames)
+        assert vg == v_small  # fusion winner tables only — no window gather
+        assert 0 < vr <= 512, (vr, opsr)
 
 
 class TestShardedKNN:
@@ -477,3 +488,56 @@ class TestNormalPitchSharded:
         with pytest.raises(ValueError, match="normal_pitch"):
             MapShardedPointFusion(map_capacity=cap, mesh=mesh,
                                   normal_pitch=0)
+
+
+class TestProjectiveSharded:
+    """odom_assoc='projective' in the sharded pipeline: each shard builds
+    point-to-plane rows for its own window and the 6x6 normal equations are
+    psum-folded — the per-iteration collective is ~230 bytes instead of the
+    KNN path's all-gathered windows. Trajectories must match the
+    single-device projective pipeline (row-order fp noise only)."""
+
+    def test_tracked_projective_matches_single_device(self, mesh):
+        B, L, H, W = 1, 3, 16, 24
+        frames = synthetic_frames(B, L=L, H=H, W=W)
+        cap = 8 * 256
+
+        single = PointFusion(odom="gradicp", odom_assoc="projective",
+                             dsratio=2, numiters=6, map_capacity=cap)
+        pc_s, poses_s = single(frames)
+
+        sharded = MapShardedPointFusion(
+            map_capacity=cap, mesh=mesh, odom="gradicp",
+            odom_assoc="projective", dsratio=2, numiters=6,
+        )
+        smap, poses_m = sharded(frames)
+        np.testing.assert_allclose(
+            np.asarray(poses_m), np.asarray(poses_s), atol=1e-4
+        )
+        assert int(np.asarray(smap.num_points).sum()) > 0
+
+    def test_projective_gate_and_pyramid(self, mesh):
+        B, L, H, W = 1, 3, 16, 24
+        frames = synthetic_frames(B, L=L, H=H, W=W)
+        cap = 8 * 256
+        single = PointFusion(odom="gradicp", odom_assoc="projective",
+                             odom_angle_gate=60.0, pyramid=[(4, 4), (2, 3)],
+                             map_capacity=cap)
+        _, poses_s = single(frames)
+        sharded = MapShardedPointFusion(
+            map_capacity=cap, mesh=mesh, odom="gradicp",
+            odom_assoc="projective", odom_angle_gate=60.0,
+            pyramid=[(4, 4), (2, 3)],
+        )
+        _, poses_m = sharded(frames)
+        np.testing.assert_allclose(
+            np.asarray(poses_m), np.asarray(poses_s), atol=1e-4
+        )
+
+    def test_validation(self, mesh):
+        with pytest.raises(ValueError, match="odom_assoc"):
+            MapShardedPointFusion(map_capacity=8 * 16, mesh=mesh,
+                                  odom_assoc="nearest")
+        with pytest.raises(ValueError, match="projective"):
+            MapShardedPointFusion(map_capacity=8 * 16, mesh=mesh,
+                                  odom_angle_gate=60.0)
