@@ -22,12 +22,17 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..utils.precision import HIGHEST
 
 __all__ = ["nn_points", "knn_points"]
 
-_INF = jnp.float32(1e30)
+# Host-side numpy scalar, NOT jnp: a module-level ``jnp.float32`` would live
+# on whatever device is default at import time and every later trace that
+# closes over it pays a blocking device-to-host read at lowering (measured:
+# minutes-long stalls over a remote-TPU tunnel).
+_INF = np.float32(1e30)
 
 
 def _round_up(x: int, m: int) -> int:

@@ -30,6 +30,7 @@ from typing import NamedTuple, Optional, Union
 import dataclasses
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..geometry.geometryutils import inverse_transformation
 from ..geometry.projutils import project_points
@@ -50,7 +51,9 @@ __all__ = [
     "unpack_colors",
 ]
 
-_INT_SENTINEL = jnp.int32(2**30)
+# Host-side numpy scalar (see ops/knn.py:_INF): a module-level jnp scalar is a
+# device constant whose lowering read can stall on a remote-TPU tunnel.
+_INT_SENTINEL = np.int32(2**30)
 
 
 def pack_colors(colors: jnp.ndarray) -> jnp.ndarray:
