@@ -79,7 +79,7 @@ def projective_associate(
     W: int,
     dist_thresh: Optional[float] = None,
     dot_gate: Optional[float] = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     r"""Associate map points with live-frame points by projection.
 
     Transforms the map window into the camera at ``pose``, pinhole-projects
@@ -88,15 +88,21 @@ def projective_associate(
     reference fusionutils.py:259-274), and gathers the frame's packed
     vertex/normal/validity row at the landed pixel.
 
-    Returns ``(s, valid)``: ``s (N, 3)`` — the associated frame point in
-    WORLD coordinates (at ``pose``), and ``valid (N,)`` — in-frustum,
+    Returns ``(s, valid, n_frame)``: ``s (N, 3)`` — the associated frame
+    point in WORLD coordinates (at ``pose``); ``valid (N,)`` — in-frustum,
     valid-depth, within ``dist_thresh`` (squared meters, same convention as
     the KNN mode's gate) and within the normal gate (``dot_gate`` = minimum
-    cosine between frame and map normals; None disables).
+    cosine between frame and map normals; None disables); ``n_frame (N, 3)``
+    — the frame normal at the landed pixel, rotated to world coordinates
+    (consumed by the gate and by ``sym_normals``).
     """
     tinv = inverse_transformation(pose)
     R, t = tinv[:3, :3], tinv[:3, 3]
-    cam = map_pts @ R.T + t  # (N, 3) — camera-frame map points
+    # HIGHEST-precision contractions throughout: on TPU a plain ``@`` runs
+    # bf16 MXU passes — at world coordinates of ~meters that is ~mm of
+    # association error, a measured 20x ATE regression vs the KNN mode
+    # (CPU f32 runs were identical; utils/precision.py).
+    cam = matmul_hp(map_pts, R.T) + t  # (N, 3) — camera-frame map points
     x, y, z = cam[..., 0], cam[..., 1], cam[..., 2]
     fx, fy = intrinsics[0, 0], intrinsics[1, 1]
     cx, cy = intrinsics[0, 2], intrinsics[1, 2]
@@ -118,13 +124,13 @@ def projective_associate(
     valid = valid & (g[..., 6] > 0.5)
     # world-frame frame point: s = R_pose @ s_cam + t_pose
     Rp, tp = pose[:3, :3], pose[:3, 3]
-    s = s_cam @ Rp.T + tp
+    s = matmul_hp(s_cam, Rp.T) + tp
     if dist_thresh is not None:
         valid = valid & (jnp.sum((s - map_pts) ** 2, axis=-1) < dist_thresh)
+    n_world = matmul_hp(g[..., 3:6], Rp.T)  # rotate-only for normals
     if dot_gate is not None:
-        n_world = g[..., 3:6] @ Rp.T  # rotate-only for normals
         valid = valid & (jnp.sum(n_world * map_normals, axis=-1) > dot_gate)
-    return s, valid
+    return s, valid, n_world
 
 
 class _ProjState(NamedTuple):
@@ -154,6 +160,8 @@ def _projective_icp_core(
     lookahead_assoc: str,
     robust_loss: Optional[str],
     robust_scale: float,
+    sym_normals: bool = False,
+    point_weight: float = 0.0,
 ) -> jnp.ndarray:
     if lookahead_assoc not in ("fresh", "reuse"):
         raise ValueError(f"Unknown lookahead_assoc mode: {lookahead_assoc}")
@@ -170,22 +178,48 @@ def _projective_icp_core(
 
     def associate(X):
         pose = matmul_hp(X, init_pose)
-        s, valid = projective_associate(
+        s, valid, n_frame = projective_associate(
             map_pts, map_normals, map_mask, frame_geom, intrinsics, pose,
             H, W, dist_thresh, dot_gate,
         )
-        return s, valid
+        return s, valid, n_frame
+
+    def system(s, valid, n_frame):
+        """Point-to-plane rows, optionally with symmetric normals and a
+        point-to-point block (see the ``ProjectiveOdometryProvider`` docs:
+        pure plane rows cannot observe in-plane drift through a
+        pixel-of-projection association, so depth noise walks the pose)."""
+        n = map_normals
+        if sym_normals:
+            nsum = map_normals + n_frame
+            nn = jnp.linalg.norm(nsum, axis=-1, keepdims=True)
+            n = nsum / jnp.maximum(nn, 1e-12)
+        A, b = _ptp_system(s, map_pts, n, valid, robust_loss, robust_scale)
+        if point_weight > 0.0:
+            w = float(point_weight) ** 0.5
+            eye3 = jnp.eye(3, dtype=map_pts.dtype)
+            blocks_A, blocks_b = [A], [b]
+            for k in range(3):
+                ek = jnp.broadcast_to(w * eye3[k], s.shape)
+                # same robust kernel on the (scaled) component residual:
+                # scaling both the residual and the scale keeps the weight
+                # a function of the unscaled component.
+                Ak, bk = _ptp_system(s, map_pts, ek, valid, robust_loss,
+                                     robust_scale * w)
+                blocks_A.append(Ak)
+                blocks_b.append(bk)
+            A = jnp.concatenate(blocks_A, axis=0)
+            b = jnp.concatenate(blocks_b, axis=0)
+        return A, b
 
     def residual(X):
-        s, valid = associate(X)
-        _, b = _ptp_system(s, map_pts, map_normals, valid, robust_loss,
-                           robust_scale)
+        s, valid, n_frame = associate(X)
+        _, b = system(s, valid, n_frame)
         return b
 
     def body(state: _ProjState, _):
-        s, valid = associate(state.transform)
-        A, b = _ptp_system(s, map_pts, map_normals, valid, robust_loss,
-                           robust_scale)
+        s, valid, n_frame = associate(state.transform)
+        A, b = system(s, valid, n_frame)
         xi = solve_linear_system(A, b, state.damp)
         if robust_loss is not None:  # see icputils._guard_robust_step
             xi = _guard_robust_step(xi, A, robust_scale, s, valid)
@@ -194,14 +228,16 @@ def _projective_icp_core(
         one_step = matmul_hp(residual_transform, state.transform)
         if lookahead_assoc == "reuse":
             # keep the association, move the frame points with the step
-            s1 = s @ residual_transform[:3, :3].T + residual_transform[:3, 3]
+            s1 = (
+                matmul_hp(s, residual_transform[:3, :3].T)
+                + residual_transform[:3, 3]
+            )
             valid1 = valid
             if dist_thresh is not None:
                 valid1 = valid1 & (
                     jnp.sum((s1 - map_pts) ** 2, axis=-1) < dist_thresh
                 )
-            _, b1 = _ptp_system(s1, map_pts, map_normals, valid1,
-                                robust_loss, robust_scale)
+            _, b1 = system(s1, valid1, n_frame)
         else:
             b1 = residual(one_step)
         new_err = jnp.sum(b1 * b1)
@@ -248,6 +284,8 @@ def point_to_plane_ICP_projective(
     lookahead_assoc: str = "fresh",
     robust_loss: Optional[str] = None,
     robust_scale: float = 0.05,
+    sym_normals: bool = False,
+    point_weight: float = 0.0,
 ) -> jnp.ndarray:
     r"""Projective-association point-to-plane ICP with the classic LM
     accept/reject loop (the KNN-mode :func:`~gradslam_tpu.odometry.icputils.
@@ -258,7 +296,7 @@ def point_to_plane_ICP_projective(
         "lm", map_pts, map_normals, map_mask, frame_geom, intrinsics,
         init_pose, initial_transform, H, W, numiters, damp, dist_thresh,
         dot_gate, 2.0, 1.0, 1.0, 200.0, lookahead_assoc, robust_loss,
-        robust_scale,
+        robust_scale, sym_normals, point_weight,
     )
 
 
@@ -283,6 +321,8 @@ def point_to_plane_gradICP_projective(
     lookahead_assoc: str = "fresh",
     robust_loss: Optional[str] = None,
     robust_scale: float = 0.05,
+    sym_normals: bool = False,
+    point_weight: float = 0.0,
 ) -> jnp.ndarray:
     r"""Projective-association gradLM ICP (differentiable; the smooth
     damping/step blending of the reference's gradLM, icputils.py:496-543,
@@ -292,7 +332,7 @@ def point_to_plane_gradICP_projective(
         "gradlm", map_pts, map_normals, map_mask, frame_geom, intrinsics,
         init_pose, initial_transform, H, W, numiters, damp, dist_thresh,
         dot_gate, lambda_max, B, B2, nu, lookahead_assoc, robust_loss,
-        robust_scale,
+        robust_scale, sym_normals, point_weight,
     )
 
 
@@ -316,6 +356,22 @@ class ProjectiveOdometryProvider(OdometryProvider):
             'reuse' keeps the iteration's association (cheaper, near
             identical — and here even 'fresh' is cheap).
         robust_loss / robust_scale: IRLS robust kernel, as in the KNN mode.
+        sym_normals: use the symmetric normal ``(n_map + n_frame)/2``
+            (Rusinkiewicz's symmetric objective) in the point-to-plane rows
+            instead of the map normal alone — halves the per-side normal
+            noise and removes the one-sided linearization bias.
+        point_weight: if > 0, augment each association with three
+            point-to-POINT rows weighted ``sqrt(point_weight)`` (relative to
+            the plane rows). Pure plane rows measure only the normal
+            component of the error, and with a pixel-of-projection
+            association the in-plane (tangential) drift component is
+            *invisible to the objective to first order* — per-frame depth
+            noise then walks the pose without any restoring force (measured:
+            monotone ~5 mm/frame drift -> runaway on a noisy clip where the
+            KNN mode self-corrects, because a 3D nearest-neighbour search
+            re-anchors onto surface relief). The point rows restore the
+            tangential constraint wherever the scene has ANY relief. 0
+            disables (classic KinectFusion objective).
     """
 
     def __init__(
@@ -332,6 +388,8 @@ class ProjectiveOdometryProvider(OdometryProvider):
         lookahead_assoc: str = "fresh",
         robust_loss: Optional[str] = None,
         robust_scale: float = 0.05,
+        sym_normals: bool = False,
+        point_weight: float = 0.0,
     ):
         if solver not in ("icp", "gradicp"):
             raise ValueError(
@@ -354,6 +412,12 @@ class ProjectiveOdometryProvider(OdometryProvider):
         self.lookahead_assoc = lookahead_assoc
         self.robust_loss = robust_loss
         self.robust_scale = robust_scale
+        if point_weight < 0:
+            raise ValueError(
+                f"point_weight must be >= 0. Got {point_weight}."
+            )
+        self.sym_normals = bool(sym_normals)
+        self.point_weight = float(point_weight)
 
     def provide(
         self,
@@ -428,6 +492,8 @@ class ProjectiveOdometryProvider(OdometryProvider):
             lookahead_assoc=self.lookahead_assoc,
             robust_loss=self.robust_loss,
             robust_scale=self.robust_scale,
+            sym_normals=self.sym_normals,
+            point_weight=self.point_weight,
         )
         if self.solver == "gradicp":
             kw.update(lambda_max=self.lambda_max, B=self.B, B2=self.B2,

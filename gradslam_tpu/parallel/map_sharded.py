@@ -62,7 +62,7 @@ from ..odometry.icputils import (
 )
 from ..odometry.projective import projective_associate
 from ..ops import nn_points_auto
-from ..utils.precision import matmul_hp
+from ..utils.precision import einsum_hp, matmul_hp
 from ..slam.fusionutils import (
     _project_map_points,
     get_alpha,
@@ -679,7 +679,7 @@ class MapShardedPointFusion:
             def _proj_rows(m_pts, m_nrm, m_mask, fgeo, pose):
                 """Batched association + masked point-to-plane rows."""
                 def one(mp, mn, mm, fg, Kmat, po):
-                    s, val = projective_associate(
+                    s, val, _ = projective_associate(
                         mp, mn, mm, fg, Kmat, po, H, W, dthr, dgate)
                     A, b = _ptp_system(s, mp, mn, val, rb_loss, rb_scale)
                     return s, val, A, b
@@ -734,7 +734,7 @@ class MapShardedPointFusion:
                     rT = se3_exp(xi[:, :, 0])  # (B, 4, 4), batched
                     one_step = matmul_hp(rT, X)
                     if reuse_la:
-                        s1 = jnp.einsum(
+                        s1 = einsum_hp(
                             "bij,bnj->bni", rT[:, :3, :3], s
                         ) + rT[:, None, :3, 3]
                         val1 = val

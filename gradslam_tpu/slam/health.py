@@ -291,7 +291,7 @@ def _projective_health(
     )
 
     def health_one(m_pts, m_nrm, m_mask, fgeom, K, pose):
-        s, admissible = projective_associate(
+        s, admissible, _ = projective_associate(
             m_pts, m_nrm, m_mask, fgeom, K, pose, H, W, dist_thresh
         )
         r = jnp.abs(jnp.sum(m_nrm * (m_pts - s), axis=-1))

@@ -66,12 +66,35 @@ class ICPSLAM:
             640x480 pipeline's odometry cost drops ~an order of magnitude
             at comparable ATE (see BENCH_ALL). The solvers, robust kernels,
             pyramid and motion-model knobs apply to both modes.
+            With a ``pyramid``, ``odom_assoc`` may also be a per-level list
+            (same length), enabling HYBRID schedules — e.g.
+            ``pyramid=[(8, 6), (8, 4)],
+            odom_assoc=['projective', 'knn']``: cheap projective
+            pre-alignment plus a short KNN level that re-anchors the
+            tangential drift projective association cannot observe
+            (measured on the noisy hard clip: hybrid 18.6 mm vs pure
+            projective 176 mm vs pure KNN 14.3 mm at ~8x pure-KNN speed).
         odom_angle_gate: optional normal-compatibility gate (degrees) for
             ``odom_assoc='projective'``: associations whose frame normal
             deviates from the map normal by more than this angle are
             rejected — discards wrong-surface correspondences a pure
             distance gate admits, letting association density scale with
             resolution on noisy depth (design.md §4). None disables.
+        odom_sym_normals: use the symmetric normal
+            ``normalize(n_map + n_frame)`` in the projective solver's
+            point-to-plane rows (Rusinkiewicz's symmetric objective).
+            STRONGLY recommended with ``odom_assoc='projective'`` on noisy
+            depth: one-sided map normals leave per-frame depth noise
+            unopposed along the surface tangent and the pose drifts
+            monotonically (measured 320x240 noisy clip: 205 mm -> 46 mm
+            ATE). Projective association only.
+        odom_point_weight: if > 0, augment the projective solver with
+            point-to-POINT rows at this weight (relative to the plane
+            rows) — an anti-drift constraint wherever the scene has
+            relief. The rows carry a half-pixel in-plane quantization
+            floor (~z/(2 fx)), so this is for production resolutions,
+            small weights (~0.25), and only when ``odom_sym_normals``
+            alone is insufficient. Projective association only.
         dsratio: downsampling ratio applied to frames and map before ICP.
         numiters / damp / dist_thresh: ICP solver parameters.
         robust_loss / robust_scale: optional robust kernel ('huber' or
@@ -188,6 +211,8 @@ class ICPSLAM:
         odom: str = "gradicp",
         odom_assoc: str = "knn",
         odom_angle_gate: Optional[float] = None,
+        odom_sym_normals: bool = False,
+        odom_point_weight: float = 0.0,
         dsratio: int = 4,
         numiters: int = 20,
         pyramid: Optional[list] = None,
@@ -223,14 +248,40 @@ class ICPSLAM:
             )
         self.odom = odom
         self.dist_thresh = dist_thresh
-        if odom_assoc not in ("knn", "projective"):
+        if isinstance(odom_assoc, (list, tuple)):
+            # per-level association for a HYBRID pyramid, e.g. coarse
+            # projective pre-alignment + one fine KNN level to re-anchor the
+            # tangential drift projective association cannot observe.
+            if pyramid is None or len(odom_assoc) != len(pyramid):
+                raise ValueError(
+                    "A per-level odom_assoc list requires a pyramid of the "
+                    f"same length. Got {odom_assoc!r} with "
+                    f"pyramid={pyramid!r}."
+                )
+            odom_assoc = tuple(odom_assoc)
+            bad = [a for a in odom_assoc if a not in ("knn", "projective")]
+            if bad:
+                raise ValueError(
+                    f"Unknown odom_assoc level(s): {bad!r}. "
+                    "Expected 'knn' or 'projective'."
+                )
+        elif odom_assoc not in ("knn", "projective"):
             raise ValueError(
                 f"Unknown odom_assoc: {odom_assoc!r}. "
                 "Expected 'knn' or 'projective'."
             )
         self.odom_assoc = odom_assoc
+        any_projective = (
+            "projective" in odom_assoc
+            if isinstance(odom_assoc, tuple)
+            else odom_assoc == "projective"
+        )
+        # the finest level's mode decides the health statistic's association
+        self._finest_assoc = (
+            odom_assoc[-1] if isinstance(odom_assoc, tuple) else odom_assoc
+        )
         if odom_angle_gate is not None:
-            if odom_assoc != "projective":
+            if not any_projective:
                 raise ValueError(
                     "odom_angle_gate requires odom_assoc='projective' (the "
                     "KNN mode has no per-association frame normal to gate on)."
@@ -241,6 +292,18 @@ class ICPSLAM:
                     f"Got {odom_angle_gate}."
                 )
         self.odom_angle_gate = odom_angle_gate
+        if (odom_sym_normals or odom_point_weight) and not any_projective:
+            raise ValueError(
+                "odom_sym_normals / odom_point_weight require "
+                "odom_assoc='projective' (they shape the projective solver's "
+                "rows; the KNN mode has no per-association frame normal)."
+            )
+        if odom_point_weight < 0:
+            raise ValueError(
+                f"odom_point_weight must be >= 0. Got {odom_point_weight}."
+            )
+        self.odom_sym_normals = bool(odom_sym_normals)
+        self.odom_point_weight = float(odom_point_weight)
         if not isinstance(dsratio, int) or dsratio < 1:
             raise ValueError(f"dsratio must be an int >= 1. Got {dsratio}.")
         self.dsratio = dsratio
@@ -310,8 +373,8 @@ class ICPSLAM:
         self.robust_loss = robust_loss
         self.robust_scale = robust_scale
 
-        def make_provider(n_iters):
-            if odom in ("icp", "gradicp") and odom_assoc == "projective":
+        def make_provider(n_iters, assoc):
+            if odom in ("icp", "gradicp") and assoc == "projective":
                 return ProjectiveOdometryProvider(
                     solver=odom,
                     numiters=n_iters,
@@ -328,6 +391,8 @@ class ICPSLAM:
                     lookahead_assoc=lookahead_assoc,
                     robust_loss=robust_loss,
                     robust_scale=robust_scale,
+                    sym_normals=odom_sym_normals,
+                    point_weight=odom_point_weight,
                 )
             if odom == "icp":
                 return ICPOdometryProvider(
@@ -342,10 +407,18 @@ class ICPSLAM:
             return None
 
         if self.pyramid is None:
-            self.odomprov = make_provider(numiters)
+            self.odomprov = make_provider(numiters, self.odom_assoc)
             self._pyramid_provs = None
         else:
-            self._pyramid_provs = [make_provider(n) for _, n in self.pyramid]
+            assocs = (
+                self.odom_assoc
+                if isinstance(self.odom_assoc, tuple)
+                else (self.odom_assoc,) * len(self.pyramid)
+            )
+            self._pyramid_provs = [
+                make_provider(n, a)
+                for (_, n), a in zip(self.pyramid, assocs)
+            ]
             self.odomprov = self._pyramid_provs[-1]  # finest level
         self._forward = jax.jit(self._forward_impl) if use_jit else self._forward_impl
         self._step = jax.jit(self._step_impl) if use_jit else self._step_impl
@@ -675,8 +748,6 @@ class ICPSLAM:
         target = self._icp_target_window(pointclouds, H, W)
         active = find_active_map_points(target, prev_frame)
 
-        projective = self.odom_assoc == "projective"
-
         def solve_level(prov, ds, init_T):
             maps_pc = downsample_pointclouds(
                 target,
@@ -686,7 +757,7 @@ class ICPSLAM:
                 ds,
                 self._default_icp_capacity(H, W, ds),
             )
-            if projective:
+            if isinstance(prov, ProjectiveOdometryProvider):
                 # frame-to-model: the live frame's own vertex/normal image
                 # is the association target — no frame cloud, no KNN
                 return prov.provide(maps_pc, live_frame,
@@ -732,7 +803,7 @@ class ICPSLAM:
         # health measures the pipeline's own association — and keeps a
         # projective pipeline's healthy path entirely KNN-free
         health_fn = (
-            _projective_health if self.odom_assoc == "projective"
+            _projective_health if self._finest_assoc == "projective"
             else _association_health
         )
         h = health_fn(target, live.with_poses(poses), **health_kw)

@@ -33,6 +33,8 @@ class PointFusion(ICPSLAM):
         odom: str = "gradicp",
         odom_assoc: str = "knn",
         odom_angle_gate: Optional[float] = None,
+        odom_sym_normals: bool = False,
+        odom_point_weight: float = 0.0,
         dist_th: Union[float, int] = 0.05,
         angle_th: Union[float, int] = 20,
         sigma: Union[float, int] = 0.6,
@@ -83,6 +85,8 @@ class PointFusion(ICPSLAM):
             odom=odom,
             odom_assoc=odom_assoc,
             odom_angle_gate=odom_angle_gate,
+            odom_sym_normals=odom_sym_normals,
+            odom_point_weight=odom_point_weight,
             dsratio=dsratio,
             numiters=numiters,
             pyramid=pyramid,

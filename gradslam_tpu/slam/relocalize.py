@@ -56,6 +56,7 @@ from ..odometry.icp import ICPOdometryProvider
 from ..odometry.icputils import downsample_pointclouds, downsample_rgbdimages
 from ..structures.pointclouds import Pointclouds
 from ..structures.rgbdimages import RGBDImages
+from ..utils.precision import einsum_hp
 from .fusionutils import find_active_map_points
 from .health import _association_health
 
@@ -100,7 +101,7 @@ def perturbation_grid(
             xis.append(t + (0.0, w, 0.0))  # twist layout (v, omega)
     deltas = se3_exp(jnp.asarray(xis, dtype=poses.dtype))  # (K, 4, 4)
     # pose (B, 1, 4, 4) @ delta (1, K, 4, 4) -> (B, K, 4, 4)
-    return jnp.einsum("bij,kjl->bkil", poses, deltas)
+    return einsum_hp("bij,kjl->bkil", poses, deltas)
 
 
 def relocalize(

@@ -13,6 +13,7 @@ from typing import Optional
 
 import jax.numpy as jnp
 
+from ..utils.precision import einsum_hp
 from .pointclouds import Pointclouds, compact_masked
 from .rgbdimages import RGBDImages
 
@@ -153,7 +154,7 @@ def estimate_normals(
     wsum = jnp.maximum(jnp.sum(w, axis=2), 1.0)  # (B, CAP, 1)
     mean = jnp.sum(nbrs * w, axis=2) / wsum
     centered = (nbrs - mean[:, :, None, :]) * w
-    cov = jnp.einsum("bnki,bnkj->bnij", centered, centered)
+    cov = einsum_hp("bnki,bnkj->bnij", centered, centered)
     # smallest-eigenvalue eigenvector of the symmetric 3x3 (eigh: ascending)
     _, vecs = jnp.linalg.eigh(cov)
     normals = vecs[..., 0]  # (B, CAP, 3)

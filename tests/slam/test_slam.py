@@ -761,3 +761,4 @@ class TestMotionModel:
         g = jax.grad(loss)(jnp.asarray(depth))
         assert np.isfinite(np.asarray(g)).all()
         assert float(jnp.abs(g).max()) > 0
+
