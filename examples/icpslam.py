@@ -36,6 +36,17 @@ parser.add_argument(
     help="Odometry data association: 'knn' (reference semantics) or "
     "'projective' (KNN-free frame-to-model; O(N) per iteration).",
 )
+parser.add_argument(
+    "--odom-sym-normals", action="store_true",
+    help="Symmetric point-to-plane normals for the projective solver "
+    "(normalize(n_map + n_frame)) - the anti-drift fix for noisy depth; "
+    "strongly recommended with --odom-assoc projective.",
+)
+parser.add_argument(
+    "--odom-point-weight", type=float, default=0.0,
+    help="Weight of optional point-to-point rows in the projective solver "
+    "(anti-drift at production resolutions; ~0.25; 0 = off).",
+)
 parser.add_argument("--visualize", action="store_true")
 args = parser.parse_args()
 
@@ -64,6 +75,8 @@ def main():
 
     frames = RGBDImages(colors, depths, intrinsics, poses)
     slam = ICPSLAM(odom=args.odometry, odom_assoc=args.odom_assoc,
+                   odom_sym_normals=args.odom_sym_normals,
+                   odom_point_weight=args.odom_point_weight,
                    icp_window_frames=args.icp_window_frames)
     pointclouds, recovered_poses = slam(frames)
     print("map points per sequence:", np.asarray(pointclouds.num_points))

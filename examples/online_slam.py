@@ -103,6 +103,18 @@ parser.add_argument("--resume", action="store_true",
                     help="continue from the checkpoint in --out")
 parser.add_argument("--out", type=str, default="/tmp/online_slam",
                     help="output directory (checkpoint, map.ply, trajectory.txt)")
+parser.add_argument(
+    "--odom-sym-normals", action="store_true",
+    help="Symmetric point-to-plane normals for the projective solver "
+    "(normalize(n_map + n_frame)) - the anti-drift fix for noisy depth; "
+    "strongly recommended with --odom-assoc projective.",
+)
+parser.add_argument(
+    "--odom-point-weight", type=float, default=0.0,
+    help="Weight of optional point-to-point rows in the projective solver "
+    "(anti-drift at production resolutions; ~0.25; 0 = off).",
+)
+
 args = parser.parse_args()
 
 
@@ -133,6 +145,8 @@ def main():
     capacity = args.map_capacity or L * args.height * args.width
     pyramid = parse_pyramid(args.pyramid)
     slam = cls(odom=args.odometry, odom_assoc=args.odom_assoc,
+               odom_sym_normals=args.odom_sym_normals,
+               odom_point_weight=args.odom_point_weight,
                odom_angle_gate=args.odom_angle_gate,
                map_capacity=capacity, pyramid=pyramid,
                robust_loss=args.robust_loss, robust_scale=args.robust_scale,

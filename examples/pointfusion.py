@@ -84,6 +84,17 @@ parser.add_argument(
     "(~60 is a good default on noisy depth).",
 )
 parser.add_argument(
+    "--odom-sym-normals", action="store_true",
+    help="Symmetric point-to-plane normals for the projective solver "
+    "(normalize(n_map + n_frame)) - the anti-drift fix for noisy depth; "
+    "strongly recommended with --odom-assoc projective.",
+)
+parser.add_argument(
+    "--odom-point-weight", type=float, default=0.0,
+    help="Weight of optional point-to-point rows in the projective solver "
+    "(anti-drift at production resolutions; ~0.25; 0 = off).",
+)
+parser.add_argument(
     "--relocalize-below", type=float, default=0.0,
     help="In-scan failure branch: when the per-frame tracking-health "
     "inlier fraction drops below this, a multi-hypothesis relocalization "
@@ -143,6 +154,8 @@ def main():
         motion_model=args.motion_model,
         normal_pitch=args.normal_pitch,
         odom_assoc=args.odom_assoc,
+        odom_sym_normals=args.odom_sym_normals,
+        odom_point_weight=args.odom_point_weight,
         odom_angle_gate=args.odom_angle_gate,
         relocalize_below=args.relocalize_below,
     )

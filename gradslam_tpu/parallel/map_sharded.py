@@ -215,6 +215,11 @@ class MapShardedPointFusion:
             normal at the landed pixel and the map normal
             (``odom_assoc='projective'`` only; see
             :class:`gradslam_tpu.ICPSLAM`).
+        odom_sym_normals: symmetric point-to-plane normals for the
+            projective solver (``odom_assoc='projective'`` only; see
+            :class:`gradslam_tpu.ICPSLAM` — the anti-drift fix for noisy
+            depth). Matches the single-device pipeline's knob so sharded
+            trajectories stay comparable config-for-config.
         pyramid: optional coarse-to-fine ``[(dsratio, numiters), ...]``
             schedule (see :class:`gradslam_tpu.ICPSLAM`) — each level
             all-gathers its own target window and warm-starts the next.
@@ -244,6 +249,7 @@ class MapShardedPointFusion:
         odom: str = "gt",
         odom_assoc: str = "knn",
         odom_angle_gate: Optional[float] = None,
+        odom_sym_normals: bool = False,
         dsratio: int = 4,
         numiters: int = 20,
         pyramid: Optional[list] = None,
@@ -288,6 +294,11 @@ class MapShardedPointFusion:
             None if odom_angle_gate is None
             else math.cos(math.radians(odom_angle_gate))
         )
+        if odom_sym_normals and odom_assoc != "projective":
+            raise ValueError(
+                "odom_sym_normals requires odom_assoc='projective'."
+            )
+        self.odom_sym_normals = bool(odom_sym_normals)
         if normal_pitch is not None and (
             not isinstance(normal_pitch, int) or normal_pitch < 1
         ):
@@ -676,13 +687,23 @@ class MapShardedPointFusion:
             reuse_la = self.lookahead_assoc == "reuse"
             is_lm = self.odom == "icp"
 
+            sym_nrm = self.odom_sym_normals
+
             def _proj_rows(m_pts, m_nrm, m_mask, fgeo, pose):
-                """Batched association + masked point-to-plane rows."""
+                """Batched association + masked point-to-plane rows.
+                Returns the row normals too (symmetric normals when
+                ``odom_sym_normals``; see ProjectiveOdometryProvider) so the
+                reuse-lookahead residual reuses the same rows."""
                 def one(mp, mn, mm, fg, Kmat, po):
-                    s, val, _ = projective_associate(
+                    s, val, nf = projective_associate(
                         mp, mn, mm, fg, Kmat, po, H, W, dthr, dgate)
-                    A, b = _ptp_system(s, mp, mn, val, rb_loss, rb_scale)
-                    return s, val, A, b
+                    n = mn
+                    if sym_nrm:
+                        nsum = mn + nf
+                        nn = jnp.linalg.norm(nsum, axis=-1, keepdims=True)
+                        n = nsum / jnp.maximum(nn, 1e-12)
+                    A, b = _ptp_system(s, mp, n, val, rb_loss, rb_scale)
+                    return s, val, n, A, b
 
                 return jax.vmap(one)(m_pts, m_nrm, m_mask, fgeo, intr, pose)
 
@@ -722,7 +743,8 @@ class MapShardedPointFusion:
                 def body(carry, _):
                     X, dampv = carry
                     pose = matmul_hp(X, pose_prev)
-                    s, val, A, b = _proj_rows(m_pts, m_nrm, m_mask, fgeo, pose)
+                    s, val, rown, A, b = _proj_rows(
+                        m_pts, m_nrm, m_mask, fgeo, pose)
                     At = jnp.swapaxes(A, -1, -2)
                     AtA = jax.lax.psum(matmul_hp(At, A), axis)
                     Atb = jax.lax.psum(matmul_hp(At, b), axis)
@@ -744,10 +766,10 @@ class MapShardedPointFusion:
                         _, b1 = jax.vmap(
                             lambda ss, mp, mn, vv: _ptp_system(
                                 ss, mp, mn, vv, rb_loss, rb_scale)
-                        )(s1, m_pts, m_nrm, val1)
+                        )(s1, m_pts, rown, val1)
                     else:
                         pose1 = matmul_hp(one_step, pose_prev)
-                        _, _, _, b1 = _proj_rows(
+                        _, _, _, _, b1 = _proj_rows(
                             m_pts, m_nrm, m_mask, fgeo, pose1)
                     err1 = _psum_err(b1)
                     if is_lm:  # classic LM accept/reject

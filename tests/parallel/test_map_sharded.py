@@ -534,6 +534,25 @@ class TestProjectiveSharded:
             np.asarray(poses_m), np.asarray(poses_s), atol=1e-4
         )
 
+
+    def test_projective_sym_normals_matches_single_device(self, mesh):
+        B, L, H, W = 1, 3, 16, 24
+        frames = synthetic_frames(B, L=L, H=H, W=W)
+        cap = 8 * 256
+        single = PointFusion(odom="gradicp", odom_assoc="projective",
+                             odom_sym_normals=True, dsratio=2, numiters=6,
+                             map_capacity=cap)
+        _, poses_s = single(frames)
+        sharded = MapShardedPointFusion(
+            map_capacity=cap, mesh=mesh, odom="gradicp",
+            odom_assoc="projective", odom_sym_normals=True,
+            dsratio=2, numiters=6,
+        )
+        _, poses_m = sharded(frames)
+        np.testing.assert_allclose(
+            np.asarray(poses_m), np.asarray(poses_s), atol=1e-4
+        )
+
     def test_validation(self, mesh):
         with pytest.raises(ValueError, match="odom_assoc"):
             MapShardedPointFusion(map_capacity=8 * 16, mesh=mesh,
@@ -541,3 +560,6 @@ class TestProjectiveSharded:
         with pytest.raises(ValueError, match="projective"):
             MapShardedPointFusion(map_capacity=8 * 16, mesh=mesh,
                                   odom_angle_gate=60.0)
+        with pytest.raises(ValueError, match="projective"):
+            MapShardedPointFusion(map_capacity=8 * 16, mesh=mesh,
+                                  odom_sym_normals=True)
