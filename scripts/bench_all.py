@@ -190,6 +190,7 @@ def run(out_path=None):
     # frame-to-model association by map->frame projection + row gather —
     # O(N) per iteration, no KNN anywhere. Same solver/robustness knobs.
     gicp_proj = PointFusion(odom="gradicp", odom_assoc="projective",
+                            odom_sym_normals=True,  # recommended default
                             dsratio=4, numiters=10, map_capacity=gicp_sched)
     timed("PointFusion(gradicp, projective) 320x240 frames/s", gicp_proj,
           frames, B, L, baseline=0.323, ate=True)
@@ -198,7 +199,8 @@ def run(out_path=None):
     # branch never executes — the row's cost vs the row above IS the
     # healthy-path overhead (must be <5%).
     gicp_proj_reloc = PointFusion(
-        odom="gradicp", odom_assoc="projective", dsratio=4, numiters=10,
+        odom="gradicp", odom_assoc="projective", odom_sym_normals=True,
+        dsratio=4, numiters=10,
         map_capacity=gicp_sched, relocalize_below=0.2,
     )
     timed("PointFusion(gradicp, projective, relocalize armed) 320x240 frames/s",
@@ -254,10 +256,12 @@ def run(out_path=None):
     # mode's headline rows (VERDICT r3 #1 'done' bar: plain >= 30 fps,
     # production >= 60 fps, ATE within 2x of the KNN rows above).
     gicp640_proj = PointFusion(odom="gradicp", odom_assoc="projective",
+                               odom_sym_normals=True,
                                dsratio=4, numiters=10, map_capacity=sched640)
     timed("PointFusion(gradicp, projective) 640x480 frames/s", gicp640_proj,
           frames, B, L, iters=2, baseline=tb640, ate=True)
     gicp640_proj_q = PointFusion(odom="gradicp", odom_assoc="projective",
+                                 odom_sym_normals=True,
                                  dsratio=4, numiters=10, quantize_colors=True,
                                  map_capacity=sched640)
     timed("PointFusion(gradicp, projective, quantized) 640x480 frames/s",
@@ -265,7 +269,8 @@ def run(out_path=None):
     # production projective: coarse-to-fine + reuse lookahead + quantized
     # colors on the KNN-free mode (the candidate fastest tracked config)
     gicp640_proj_prod = PointFusion(
-        odom="gradicp", odom_assoc="projective", pyramid=[(8, 6), (4, 2)],
+        odom="gradicp", odom_assoc="projective", odom_sym_normals=True,
+        pyramid=[(8, 6), (4, 2)],
         lookahead_assoc="reuse", quantize_colors=True,
         map_capacity=sched640,
     )
@@ -335,6 +340,31 @@ def run(out_path=None):
     )
     timed("PointFusion(gradicp, tuned+normal_pitch=2) hard-clip 320x240 "
           "frames/s", hslam, frames, B, L, iters=2, ate=True)
+    # KNN-free tracking on the same clip: projective + symmetric normals
+    # (the anti-drift objective; one-sided normals run away at ~5 mm/frame
+    # here — design.md §4) + the normal gate. Measured r4: 46 mm vs the
+    # KNN row's ~15 mm, at several times its speed.
+    hslam_psym = PointFusion(
+        odom="gradicp", odom_assoc="projective", odom_sym_normals=True,
+        odom_angle_gate=60.0, dsratio=4, numiters=10,
+        map_capacity=L * H * W, motion_model="constant_velocity",
+        robust_loss="tukey", robust_scale=0.03, dist_thresh=0.01,
+        normal_pitch=2,
+    )
+    timed("PointFusion(gradicp, projective sym+gate) hard-clip 320x240 "
+          "frames/s", hslam_psym, frames, B, L, iters=2, ate=True)
+    # hybrid pyramid: coarse projective pre-alignment + short KNN re-anchor
+    # level — KNN-grade robustness (18.6 mm vs pure KNN 14.3) at ~8x the
+    # pure-KNN speed (the KNN level runs 4 iters at ds8).
+    hslam_hyb = PointFusion(
+        odom="gradicp", pyramid=[(8, 6), (8, 4)],
+        odom_assoc=["projective", "knn"], odom_sym_normals=True,
+        odom_angle_gate=30.0, map_capacity=L * H * W,
+        motion_model="constant_velocity", robust_loss="tukey",
+        robust_scale=0.03, dist_thresh=0.01, normal_pitch=2,
+    )
+    timed("PointFusion(gradicp, hybrid proj+knn pyramid) hard-clip 320x240 "
+          "frames/s", hslam_hyb, frames, B, L, iters=2, ate=True)
 
     # hard clip at the NORTH-STAR 640x480: both noise knobs scale with
     # resolution (ds ~ W/80, pitch ~ W/160; docs/design.md §4). Measured
@@ -354,17 +384,22 @@ def run(out_path=None):
     )
     timed("PointFusion(gradicp, tuned ds8+normal_pitch=4) hard-clip 640x480 "
           "frames/s", hslam, frames, B, L, iters=2, ate=True)
-    # projective + normal gate at DENSE ds4 — the association-density wall
-    # that forced ds8 on the KNN mode (wrong-surface candidates inside the
-    # distance gate, design.md §4) is gated out by the per-association frame
-    # normal check, which the KNN mode cannot express (VERDICT r3 #5).
+    # DENSE ds4 tracking at full resolution — the regime where the KNN mode
+    # diverges outright (0.55-3.7 m at any pitch, design.md §4). The
+    # projective mode with the full anti-drift recipe tracks it: symmetric
+    # normals (tangential-drift fix) + normal gate + small point-to-point
+    # rows + tightened tukey. TPU sweep 2026-08-19: this config 29.9 mm —
+    # within 2x of the coarse ds8 KNN row above (17.2 mm; VERDICT r3 #5
+    # done bar). Sensitive neighbours for the record: rs0.03 56.7 mm,
+    # p0.5/rs0.02 82 mm, rs0.015 diverges.
     hslam_proj = PointFusion(
-        odom="gradicp", odom_assoc="projective", odom_angle_gate=60.0,
+        odom="gradicp", odom_assoc="projective", odom_sym_normals=True,
+        odom_angle_gate=45.0, odom_point_weight=0.25,
         dsratio=4, numiters=10, map_capacity=L * H * W,
         motion_model="constant_velocity", robust_loss="tukey",
-        robust_scale=0.03, dist_thresh=0.01, normal_pitch=4,
+        robust_scale=0.02, dist_thresh=0.01, normal_pitch=4,
     )
-    timed("PointFusion(gradicp, projective+gate ds4+normal_pitch=4) "
+    timed("PointFusion(gradicp, projective sym+gate+p0.25 ds4) "
           "hard-clip 640x480 frames/s", hslam_proj, frames, B, L, iters=2,
           ate=True)
 

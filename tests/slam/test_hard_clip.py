@@ -221,3 +221,33 @@ class TestHardClipRobustness:
         assert np.isfinite(ate_rob), "robust tracker diverged"
         assert ate_rob < 0.04, f"robust config regressed: {ate_rob}"
         assert ate_plain > 5 * ate_rob, (ate_plain, ate_rob)
+
+
+class TestProjectiveDenseHardClip:
+    @pytest.mark.slow
+    def test_sym_recipe_tracks_dense_noisy_clip(self):
+        """The projective anti-drift recipe (sym normals + gate + point
+        rows + tightened tukey) must track a noisy clip at DENSE ds4 where
+        one-sided plane rows run away (design.md §4 'Projective'). CPU-scale
+        guard for the committed TPU result (640x480 ds4: 29.9 mm, where KNN
+        ds4 diverges at 0.55-3.7 m)."""
+        B, L, H, W = 1, 20, 240, 320
+        rgb, depths, intrinsics, poses = hard_sequence(B, L, H, W)
+        fr = RGBDImages(jnp.asarray(rgb), jnp.asarray(depths),
+                        jnp.asarray(intrinsics), jnp.asarray(poses))
+        base = dict(
+            odom="gradicp", odom_assoc="projective", dsratio=4, numiters=10,
+            map_capacity=L * H * W, motion_model="constant_velocity",
+            robust_loss="tukey", dist_thresh=0.01, normal_pitch=2,
+        )
+        plain = PointFusion(**base, robust_scale=0.03)
+        recipe = PointFusion(
+            **base, robust_scale=0.02, odom_sym_normals=True,
+            odom_angle_gate=45.0, odom_point_weight=0.25,
+        )
+        _, op_p = jax.jit(lambda f: plain(f))(fr)
+        _, op_r = jax.jit(lambda f: recipe(f))(fr)
+        ate_p = float(ate_rmse(op_p[0], fr.poses[0]))
+        ate_r = float(ate_rmse(op_r[0], fr.poses[0]))
+        assert ate_r < 0.5 * ate_p
+        assert ate_r < 0.05
