@@ -508,16 +508,25 @@ def run(out_path=None):
     # tracked-gradient benchmark (VERDICT r3 #6): the framework's
     # differentiating claim is gradients THROUGH gradICP — price the backward
     # of the tracked pipeline where it is expensive, not just the gt path.
-    for (H, W, res_tag, remats) in ((240, 320, "320x240", (False, True)),
-                                    (480, 640, "640x480", (False, True))):
+    # The projective variants price the backward of the KNN-free mode: the
+    # forward saves no O(N*M) distance matrices, so its backward is
+    # proportionally lighter too.
+    for (H, W, res_tag, remats, assoc) in (
+            (240, 320, "320x240", (False, True), "knn"),
+            (480, 640, "640x480", (False, True), "knn"),
+            (480, 640, "640x480, projective", (False, True), "projective")):
         B, L = 1, 30
         rgb, depths, intrinsics, poses = _synthetic_frames_arrays(B, L, H, W)
         d0, K0 = jnp.asarray(depths), jnp.asarray(intrinsics)
         rgb_j, poses_j = jnp.asarray(rgb), jnp.asarray(poses)
         cap = 147_456 if W == 320 else 540_672
         for remat in remats:
+            kw = {}
+            if assoc == "projective":
+                kw = dict(odom_assoc="projective", odom_sym_normals=True)
             slam = PointFusion(odom="gradicp", dsratio=4, numiters=10,
-                               use_jit=False, remat=remat, map_capacity=cap)
+                               use_jit=False, remat=remat, map_capacity=cap,
+                               **kw)
 
             def loss_fn(d, K):
                 fr = RGBDImages(rgb_j, d, K, poses_j)
