@@ -210,7 +210,10 @@ class MapShardedPointFusion:
             KNN) or ``'projective'`` — each shard builds point-to-plane rows
             for its OWN window by projection+gather against the replicated
             frame image and only the 6x6 normal equations are psum-folded
-            (~230 bytes/iteration; no window collective at all).
+            (~230 bytes/iteration; no window collective at all). With a
+            ``pyramid``, also a per-level list for hybrid schedules
+            (``['projective', 'knn']`` — see :class:`gradslam_tpu.ICPSLAM`);
+            trajectories match the single-device hybrid.
         odom_angle_gate: optional maximum angle (degrees) between the frame
             normal at the landed pixel and the map normal
             (``odom_assoc='projective'`` only; see
@@ -274,14 +277,34 @@ class MapShardedPointFusion:
     ):
         if odom not in ("gt", "icp", "gradicp"):
             raise ValueError(f"Odometry method ({odom}) not supported.")
-        if odom_assoc not in ("knn", "projective"):
+        if isinstance(odom_assoc, (list, tuple)):
+            # per-level association (hybrid pyramids; see ICPSLAM)
+            if pyramid is None or len(odom_assoc) != len(pyramid):
+                raise ValueError(
+                    "A per-level odom_assoc list requires a pyramid of the "
+                    f"same length. Got {odom_assoc!r} with "
+                    f"pyramid={pyramid!r}."
+                )
+            odom_assoc = tuple(odom_assoc)
+            bad = [a for a in odom_assoc if a not in ("knn", "projective")]
+            if bad:
+                raise ValueError(
+                    f"Unknown odom_assoc level(s): {bad!r}. "
+                    "Expected 'knn' or 'projective'."
+                )
+        elif odom_assoc not in ("knn", "projective"):
             raise ValueError(
                 f"Unknown odom_assoc: {odom_assoc!r}. "
                 "Expected 'knn' or 'projective'."
             )
         self.odom_assoc = odom_assoc
+        any_projective = (
+            "projective" in odom_assoc
+            if isinstance(odom_assoc, tuple)
+            else odom_assoc == "projective"
+        )
         if odom_angle_gate is not None:
-            if odom_assoc != "projective":
+            if not any_projective:
                 raise ValueError(
                     "odom_angle_gate requires odom_assoc='projective'."
                 )
@@ -294,7 +317,7 @@ class MapShardedPointFusion:
             None if odom_angle_gate is None
             else math.cos(math.radians(odom_angle_gate))
         )
-        if odom_sym_normals and odom_assoc != "projective":
+        if odom_sym_normals and not any_projective:
             raise ValueError(
                 "odom_sym_normals requires odom_assoc='projective'."
             )
@@ -476,7 +499,6 @@ class MapShardedPointFusion:
             poses_in = jnp.broadcast_to(
                 jnp.eye(4, dtype=frames.depth_image.dtype), (L, B, 4, 4))
 
-        projective = tracked and self.odom_assoc == "projective"
         if tracked:
             # one level per pyramid entry (single level = flat
             # dsratio/numiters); per-shard window capacities per level
@@ -486,15 +508,33 @@ class MapShardedPointFusion:
                 else 2 * math.ceil(H / ds_l) * math.ceil(W / ds_l)
                 for ds_l, _n in levels
             ]
+            assocs = (
+                self.odom_assoc
+                if isinstance(self.odom_assoc, tuple)
+                else (self.odom_assoc,) * len(levels)
+            )
         else:
             levels = []
             wins = []
-        if tracked and not projective:
+            assocs = ()
+        # all-projective / all-knn keep their dedicated (tested) paths;
+        # a mixed per-level list dispatches per level (localize_mixed)
+        projective = tracked and assocs != () and all(
+            a == "projective" for a in assocs
+        )
+        mixed = tracked and len(set(assocs)) > 1
+        if tracked and any(a == "knn" for a in assocs):
             # Strided local frame clouds for ICP (reference icputils.py:623),
             # one per pyramid level. The projective mode needs none of this —
             # its association target is the frame image already in lv/ln.
+            # Projective levels of a mixed schedule get 1-point placeholders
+            # so per-level indices stay aligned.
             sls, svs = [], []
-            for ds_l, _n in levels:
+            for (ds_l, _n), a_l in zip(levels, assocs):
+                if a_l == "projective":
+                    sls.append(jnp.zeros((L, B, 1, 3), jnp.float32))
+                    svs.append(jnp.zeros((L, B, 1), bool))
+                    continue
                 sl_l = frames.vertex_map[:, :, ::ds_l, ::ds_l].reshape(B, L, -1, 3)
                 sv_l = frames.valid_depth_mask[:, :, ::ds_l, ::ds_l].reshape(B, L, -1)
                 sls.append(jnp.moveaxis(sl_l, 1, 0))  # (L, B, Nf_l, 3)
@@ -816,6 +856,57 @@ class MapShardedPointFusion:
                         pose_prev, X, n_l)
                 return compose_transformations(X, pose_prev)
 
+            def localize_mixed(state, pose_prev, v, n, vd, s_locs, s_valids):
+                """Hybrid per-level schedule: each level dispatches to the
+                projective or KNN machinery, threading the same world-frame
+                correction X (both solvers include their warm start in the
+                returned transform, so chaining composes identically to the
+                single-device hybrid pyramid)."""
+                pts, nrm, _col, _feat, nloc, _nd = state
+                nonpad = lidx < nloc[:, None]
+                vdf = vd[..., None].astype(v.dtype)
+                fgeo = jnp.concatenate(
+                    [v, n, vdf, jnp.zeros_like(vdf)], axis=-1)  # (B, HW, 8)
+                packed8 = jnp.concatenate(
+                    [pts, nrm, jnp.zeros((B, C, 2), pts.dtype)], axis=-1)
+                valid0, pix0 = _project_map_points(
+                    pts, nonpad, pose_prev, intr, H, W)
+                ph0, pw0 = pix0 // W, pix0 % W
+                X = jnp.broadcast_to(
+                    jnp.eye(4, dtype=pts.dtype), pose_prev.shape)
+                for li, ((ds_l, n_l), a_l) in enumerate(zip(levels, assocs)):
+                    win = wins[li]
+                    keep = valid0 & (ph0 % ds_l == 0) & (pw0 % ds_l == 0)
+                    if a_l == "projective":
+                        window, counts = compact_masked(
+                            packed8[..., :6], keep, win)
+                        wmask = (
+                            jnp.arange(win, dtype=jnp.int32)[None]
+                            < counts[:, None]
+                        )
+                        X = _solve_level_projective(
+                            window[..., :3], window[..., 3:6], wmask, fgeo,
+                            pose_prev, X, n_l)
+                    else:
+                        window, counts = compact_masked(packed8, keep, win)
+                        aw = jax.lax.all_gather(window, axis, axis=0)
+                        ac = jax.lax.all_gather(counts, axis, axis=0)
+                        tgt = jnp.moveaxis(aw, 0, 1).reshape(B, K * win, 8)
+                        tmask = (
+                            jnp.arange(win, dtype=jnp.int32)[None, None]
+                            < ac[..., None]
+                        )
+                        tmask = jnp.moveaxis(tmask, 0, 1).reshape(B, K * win)
+                        src = _transform_pts(s_locs[li], pose_prev)
+
+                        def solve(s, m, t, tn, tm, i, _n=n_l):
+                            return self._solve_one(s, m, t, tn, tm, i, _n)
+
+                        X = jax.vmap(solve)(
+                            src, s_valids[li], tgt[..., :3], tgt[..., 3:6],
+                            tmask, X)
+                return compose_transformations(X, pose_prev)
+
             # ---- frame 0: fuse at the bootstrap pose ----
             zeros3 = jnp.zeros((B, C, 3), jnp.float32)
             state0 = (zeros3, zeros3,
@@ -862,6 +953,9 @@ class MapShardedPointFusion:
                     )
                     if projective:
                         pose = localize_projective(st, pred, v, n, vd)
+                    elif mixed:
+                        pose = localize_mixed(
+                            st, pred, v, n, vd, s_loc, s_valid)
                     else:
                         pose = localize(st, pred, s_loc, s_valid)
                     gv, gn = globalize(pose, v, n, vd)

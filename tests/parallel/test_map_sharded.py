@@ -553,6 +553,28 @@ class TestProjectiveSharded:
             np.asarray(poses_m), np.asarray(poses_s), atol=1e-4
         )
 
+
+    def test_hybrid_per_level_assoc_matches_single_device(self, mesh):
+        """Mixed projective+KNN pyramid levels in the sharded pipeline must
+        match the single-device hybrid trajectories (localize_mixed
+        threads the same warm-start correction through both machineries)."""
+        B, L, H, W = 1, 3, 16, 24
+        frames = synthetic_frames(B, L=L, H=H, W=W)
+        cap = 8 * 256
+        single = PointFusion(odom="gradicp", pyramid=[(4, 4), (2, 3)],
+                             odom_assoc=["projective", "knn"],
+                             odom_sym_normals=True, map_capacity=cap)
+        _, poses_s = single(frames)
+        sharded = MapShardedPointFusion(
+            map_capacity=cap, mesh=mesh, odom="gradicp",
+            pyramid=[(4, 4), (2, 3)],
+            odom_assoc=["projective", "knn"], odom_sym_normals=True,
+        )
+        _, poses_m = sharded(frames)
+        np.testing.assert_allclose(
+            np.asarray(poses_m), np.asarray(poses_s), atol=1e-4
+        )
+
     def test_validation(self, mesh):
         with pytest.raises(ValueError, match="odom_assoc"):
             MapShardedPointFusion(map_capacity=8 * 16, mesh=mesh,
