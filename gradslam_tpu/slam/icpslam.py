@@ -41,7 +41,7 @@ from ..odometry.icputils import (
     validate_robust,
 )
 from ..odometry.projective import ProjectiveOdometryProvider
-from ..structures.pointclouds import Pointclouds
+from ..structures.pointclouds import Pointclouds, compact_masked
 from ..structures.rgbdimages import RGBDImages
 from .fusionutils import find_active_map_points, prune_map, update_map_aggregate
 
@@ -748,6 +748,15 @@ class ICPSLAM:
         target = self._icp_target_window(pointclouds, H, W)
         active = find_active_map_points(target, prev_frame)
 
+        def solve_with(prov, maps_pc, ds, init_T):
+            if isinstance(prov, ProjectiveOdometryProvider):
+                # frame-to-model: the live frame's own vertex/normal image
+                # is the association target — no frame cloud, no KNN
+                return prov.provide(maps_pc, live_frame,
+                                    initial_transform=init_T)
+            frames_pc = downsample_rgbdimages(live_frame, ds)
+            return prov.provide(maps_pc, frames_pc, initial_transform=init_T)
+
         def solve_level(prov, ds, init_T):
             maps_pc = downsample_pointclouds(
                 target,
@@ -757,23 +766,94 @@ class ICPSLAM:
                 ds,
                 self._default_icp_capacity(H, W, ds),
             )
-            if isinstance(prov, ProjectiveOdometryProvider):
-                # frame-to-model: the live frame's own vertex/normal image
-                # is the association target — no frame cloud, no KNN
-                return prov.provide(maps_pc, live_frame,
-                                    initial_transform=init_T)
-            frames_pc = downsample_rgbdimages(live_frame, ds)
-            return prov.provide(maps_pc, frames_pc, initial_transform=init_T)
+            return solve_with(prov, maps_pc, ds, init_T)
 
         if self.pyramid is None:
             transform = solve_level(self.odomprov, self.dsratio, None)
         else:
             # coarse-to-fine: each level warm-starts the next (the returned
-            # transform includes the initial, so chaining composes)
+            # transform includes the initial, so chaining composes).
+            # Window compaction is O(map capacity) per call — the dominant
+            # fixed cost of a tracked frame at large capacities — so when
+            # the level strides nest (every coarser ds a multiple of the
+            # finest: pix % ds_c == 0 implies pix % ds_f == 0), compact the
+            # FULL buffer once at the finest level (pixel coords ride along
+            # as two extra f32 channels) and carve the coarser windows out
+            # of that small buffer. compact_masked is rank-order-preserving,
+            # so the per-level windows — and therefore the trajectories —
+            # are identical to the direct per-level compaction whenever the
+            # finest window does not overflow (num_dropped still reports
+            # fine-level overflow on every level).
+            ds_fine = self.pyramid[-1][0]
+            nested = len(self.pyramid) > 1 and all(
+                ds_l % ds_fine == 0 for ds_l, _n in self.pyramid
+            )
             transform = None
-            for prov, (ds, _n) in zip(self._pyramid_provs, self.pyramid):
-                init_T = None if transform is None else transform[:, 0]
-                transform = solve_level(prov, ds, init_T)
+            if nested:
+                capf = self._default_icp_capacity(H, W, ds_fine)
+                dt = target.points.dtype
+                packed = jnp.concatenate(
+                    [
+                        target.points,
+                        target.normals,
+                        active.pix_h[..., None].astype(dt),
+                        active.pix_w[..., None].astype(dt),
+                    ],
+                    axis=-1,
+                )
+                keep = (
+                    active.valid
+                    & (active.pix_h % ds_fine == 0)
+                    & (active.pix_w % ds_fine == 0)
+                )
+                win8, counts = compact_masked(packed, keep, capf)
+                dropped_f = (
+                    jnp.sum(keep.astype(jnp.int32), axis=-1) - counts
+                )
+                rowmask = (
+                    jnp.arange(capf, dtype=jnp.int32)[None]
+                    < counts[:, None]
+                )
+                for prov, (ds_l, _n) in zip(
+                    self._pyramid_provs, self.pyramid
+                ):
+                    init_T = (
+                        None if transform is None else transform[:, 0]
+                    )
+                    if ds_l == ds_fine:
+                        maps_pc = Pointclouds(
+                            points=win8[..., :3],
+                            num_points=counts,
+                            normals=win8[..., 3:6],
+                            num_dropped=dropped_f,
+                        )
+                    else:
+                        ph = win8[..., 6].astype(jnp.int32)
+                        pw = win8[..., 7].astype(jnp.int32)
+                        keep_l = (
+                            rowmask & (ph % ds_l == 0) & (pw % ds_l == 0)
+                        )
+                        cap_l = self._default_icp_capacity(H, W, ds_l)
+                        sub, c_l = compact_masked(
+                            win8[..., :6], keep_l, cap_l
+                        )
+                        maps_pc = Pointclouds(
+                            points=sub[..., :3],
+                            num_points=c_l,
+                            normals=sub[..., 3:6],
+                            num_dropped=dropped_f
+                            + jnp.sum(keep_l.astype(jnp.int32), axis=-1)
+                            - c_l,
+                        )
+                    transform = solve_with(prov, maps_pc, ds_l, init_T)
+            else:
+                for prov, (ds, _n) in zip(
+                    self._pyramid_provs, self.pyramid
+                ):
+                    init_T = (
+                        None if transform is None else transform[:, 0]
+                    )
+                    transform = solve_level(prov, ds, init_T)
         return compose_transformations(
             transform[:, 0], prev_frame.poses[:, 0]
         )[:, None]

@@ -375,3 +375,69 @@ class TestProjectivePipelineGrad:
         gk = float(np.abs(np.asarray(g[1])).max())
         assert np.isfinite(gd) and gd > 0
         assert np.isfinite(gk) and gk > 0
+
+
+class TestNestedPyramidWindows:
+    def test_carved_coarse_window_equals_direct_compaction(self):
+        """_localize's nested-window fast path (one full-capacity compaction
+        at the finest level, coarser windows carved from it) must produce
+        EXACTLY the windows the direct per-level compaction produces —
+        compact_masked is rank-order-preserving, so row sets AND order must
+        match."""
+        from gradslam_tpu.odometry.icputils import downsample_pointclouds
+        from gradslam_tpu.slam.fusionutils import find_active_map_points
+        from gradslam_tpu.structures.pointclouds import compact_masked
+
+        frame = one_frame(H=48, W=64)
+        _, _, H, W = frame.shape
+        pts = frame.global_vertex_map.reshape(1, H * W, 3)
+        nrm = frame.global_normal_map.reshape(1, H * W, 3)
+        mask = frame.valid_depth_mask.reshape(1, H * W)
+        target = Pointclouds(points=pts, normals=nrm,
+                             num_points=mask.sum(-1).astype(jnp.int32))
+        active = find_active_map_points(target, frame)
+        ds_fine, ds_coarse = 4, 8
+        capf = 2 * -(-H // ds_fine) * -(-W // ds_fine)
+        capc = 2 * -(-H // ds_coarse) * -(-W // ds_coarse)
+
+        direct = downsample_pointclouds(
+            target, active.valid, active.pix_h, active.pix_w,
+            ds_coarse, capc)
+
+        dt = pts.dtype
+        packed = jnp.concatenate(
+            [pts, nrm, active.pix_h[..., None].astype(dt),
+             active.pix_w[..., None].astype(dt)], axis=-1)
+        keep = (active.valid & (active.pix_h % ds_fine == 0)
+                & (active.pix_w % ds_fine == 0))
+        win8, counts = compact_masked(packed, keep, capf)
+        rowmask = jnp.arange(capf, dtype=jnp.int32)[None] < counts[:, None]
+        ph = win8[..., 6].astype(jnp.int32)
+        pw = win8[..., 7].astype(jnp.int32)
+        keep_c = rowmask & (ph % ds_coarse == 0) & (pw % ds_coarse == 0)
+        sub, c_c = compact_masked(win8[..., :6], keep_c, capc)
+
+        np.testing.assert_array_equal(np.asarray(c_c),
+                                      np.asarray(direct.num_points))
+        n = int(c_c[0])
+        np.testing.assert_array_equal(np.asarray(sub[0, :n, :3]),
+                                      np.asarray(direct.points[0, :n]))
+        np.testing.assert_array_equal(np.asarray(sub[0, :n, 3:6]),
+                                      np.asarray(direct.normals[0, :n]))
+
+    def test_nested_pyramid_pipeline_tracks(self):
+        """Pipeline smoke for the nested path (multi-level, divisible
+        strides): tracking quality unchanged."""
+        from __graft_entry__ import _synthetic_frames_arrays
+        from gradslam_tpu.metrics.trajectory import ate_rmse
+        from gradslam_tpu.slam import PointFusion
+
+        B, L, H, W = 1, 10, 120, 160
+        rgb, depths, intrinsics, poses = _synthetic_frames_arrays(B, L, H, W)
+        fr = RGBDImages(jnp.asarray(rgb), jnp.asarray(depths),
+                        jnp.asarray(intrinsics), jnp.asarray(poses))
+        pf = PointFusion(odom="gradicp", pyramid=[(8, 6), (4, 2)],
+                         map_capacity=L * H * W)
+        _, op = jax.jit(lambda f: pf(f))(fr)
+        ate = float(ate_rmse(op[0], fr.poses[0]))
+        assert ate < 5e-4
