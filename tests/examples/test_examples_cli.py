@@ -89,6 +89,17 @@ class TestExampleCLIs:
         assert r.returncode == 0, r.stderr[-2000:]
         assert "map points per sequence" in r.stdout
 
+    def test_pointfusion_sym_normals_and_point_weight(self, fake_tum):
+        r = run_example(
+            "pointfusion.py", "--dataset", "tum", "--dataset_path", fake_tum,
+            "--odometry", "gradicp", "--seqlen", "4", "--batch_size", "1",
+            "--height", "24", "--width", "32",
+            "--odom-assoc", "projective", "--odom-sym-normals",
+            "--odom-point-weight", "0.25", "--odom-angle-gate", "45",
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "map points per sequence" in r.stdout
+
     def test_icpslam_reports_ate(self, fake_tum):
         r = run_example(
             "icpslam.py", "--dataset", "tum", "--dataset_path", fake_tum,
