@@ -48,12 +48,28 @@ def run(out_path=None):
     from gradslam_tpu import ICPSLAM, PointFusion, RGBDImages
 
     results = []
+    out_path = out_path or _default_out()
+    device_platform = jax.devices()[0].platform
+
+    def _write(partial):
+        payload = {
+            "date": datetime.date.today().isoformat(),
+            "device": device_platform,
+            "configs": results,
+        }
+        if partial:
+            payload["partial"] = True
+        with open(out_path, "w") as f:
+            json.dump(payload, f, indent=1)
+            f.write("\n")
 
     def record(entry):
-        # stream each row as it lands: a crash mid-suite keeps the rows
-        # measured so far visible instead of losing everything
+        # stream each row as it lands AND persist the partial artifact: the
+        # remote-TPU tunnel can die mid-suite (observed 2026-08-19), and a
+        # crash must keep every row measured so far on disk
         print(json.dumps(entry), flush=True)
         results.append(entry)
+        _write(partial=True)
 
     # Shared measurement protocol for EVERY row of the artifact (keeps
     # trace_s/compile_s and fps comparable across configs):
@@ -566,15 +582,7 @@ def run(out_path=None):
                     "error": f"{type(e).__name__}: {str(e)[:200]}",
                 })
 
-    out_path = out_path or _default_out()
-    payload = {
-        "date": datetime.date.today().isoformat(),
-        "device": jax.devices()[0].platform,
-        "configs": results,
-    }
-    with open(out_path, "w") as f:
-        json.dump(payload, f, indent=1)
-        f.write("\n")
+    _write(partial=False)
     print(f"# wrote {out_path}", file=sys.stderr)
 
 
