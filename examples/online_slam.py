@@ -67,7 +67,8 @@ parser.add_argument(
 )
 parser.add_argument(
     "--odom-angle-gate", type=float, default=None,
-    help="Normal-compatibility gate (degrees) for --odom-assoc projective.",
+    help="Normal-compatibility gate (degrees), both association modes: "
+    "rejects wrong-surface associations a pure distance gate admits.",
 )
 parser.add_argument(
     "--motion-model", type=str, default="static",

@@ -79,7 +79,7 @@ parser.add_argument(
 )
 parser.add_argument(
     "--odom-angle-gate", type=float, default=None,
-    help="Normal-compatibility gate (degrees) for --odom-assoc projective: "
+    help="Normal-compatibility gate (degrees), both association modes: "
     "rejects wrong-surface associations a pure distance gate admits "
     "(~60 is a good default on noisy depth).",
 )

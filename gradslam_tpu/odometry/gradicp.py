@@ -35,7 +35,12 @@ class GradICPOdometryProvider(OdometryProvider):
         lookahead_assoc: str = "fresh",
         robust_loss: str = None,
         robust_scale: Union[float, int] = 0.05,
+        dot_gate: Union[float, None] = None,
     ):
+        if dot_gate is not None and not (-1.0 <= dot_gate <= 1.0):
+            raise ValueError(
+                f"dot_gate must be a cosine in [-1, 1] or None. Got {dot_gate}."
+            )
         self.numiters = numiters
         self.damp = damp
         self.dist_thresh = dist_thresh
@@ -46,6 +51,7 @@ class GradICPOdometryProvider(OdometryProvider):
         self.lookahead_assoc = lookahead_assoc
         self.robust_loss = robust_loss
         self.robust_scale = robust_scale
+        self.dot_gate = dot_gate
 
     def provide(
         self,
@@ -67,8 +73,14 @@ class GradICPOdometryProvider(OdometryProvider):
                 "Batch size of maps_pointclouds and frames_pointclouds should be "
                 f"equal ({len(maps_pointclouds)} != {len(frames_pointclouds)})."
             )
+        if self.dot_gate is not None and frames_pointclouds.normals is None:
+            raise ValueError(
+                "dot_gate requires frames_pointclouds normals (the source "
+                "normals the gate compares against the map's)."
+            )
 
-        def solve_one(src, src_mask, tgt, tgt_normals, tgt_mask, init_T):
+        def solve_one(src, src_mask, tgt, tgt_normals, tgt_mask, init_T,
+                      src_normals=None):
             transform, _ = point_to_plane_gradICP(
                 src,
                 tgt,
@@ -86,6 +98,8 @@ class GradICPOdometryProvider(OdometryProvider):
                 lookahead_assoc=self.lookahead_assoc,
                 robust_loss=self.robust_loss,
                 robust_scale=self.robust_scale,
+                src_normals=src_normals,
+                dot_gate=self.dot_gate,
             )
             return transform
 
@@ -94,7 +108,7 @@ class GradICPOdometryProvider(OdometryProvider):
             initial_transform = jnp.broadcast_to(
                 jnp.eye(4, dtype=frames_pointclouds.points.dtype), (B, 4, 4)
             )
-        transforms = jax.vmap(solve_one)(
+        args = (
             frames_pointclouds.points,
             frames_pointclouds.nonpad_mask,
             maps_pointclouds.points,
@@ -102,4 +116,10 @@ class GradICPOdometryProvider(OdometryProvider):
             maps_pointclouds.nonpad_mask,
             initial_transform,
         )
+        if self.dot_gate is not None:
+            transforms = jax.vmap(solve_one)(
+                *args, frames_pointclouds.normals
+            )
+        else:
+            transforms = jax.vmap(solve_one)(*args)
         return transforms[:, None]

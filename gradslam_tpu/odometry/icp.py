@@ -31,13 +31,19 @@ class ICPOdometryProvider(OdometryProvider):
         lookahead_assoc: str = "fresh",
         robust_loss: str = None,
         robust_scale: Union[float, int] = 0.05,
+        dot_gate: Union[float, None] = None,
     ):
+        if dot_gate is not None and not (-1.0 <= dot_gate <= 1.0):
+            raise ValueError(
+                f"dot_gate must be a cosine in [-1, 1] or None. Got {dot_gate}."
+            )
         self.numiters = numiters
         self.damp = damp
         self.dist_thresh = dist_thresh
         self.lookahead_assoc = lookahead_assoc
         self.robust_loss = robust_loss
         self.robust_scale = robust_scale
+        self.dot_gate = dot_gate
 
     def provide(
         self,
@@ -59,8 +65,14 @@ class ICPOdometryProvider(OdometryProvider):
                 "Batch size of maps_pointclouds and frames_pointclouds should be "
                 f"equal ({len(maps_pointclouds)} != {len(frames_pointclouds)})."
             )
+        if self.dot_gate is not None and frames_pointclouds.normals is None:
+            raise ValueError(
+                "dot_gate requires frames_pointclouds normals (the source "
+                "normals the gate compares against the map's)."
+            )
 
-        def solve_one(src, src_mask, tgt, tgt_normals, tgt_mask, init_T):
+        def solve_one(src, src_mask, tgt, tgt_normals, tgt_mask, init_T,
+                      src_normals=None):
             transform, _ = point_to_plane_ICP(
                 src,
                 tgt,
@@ -74,6 +86,8 @@ class ICPOdometryProvider(OdometryProvider):
                 lookahead_assoc=self.lookahead_assoc,
                 robust_loss=self.robust_loss,
                 robust_scale=self.robust_scale,
+                src_normals=src_normals,
+                dot_gate=self.dot_gate,
             )
             return transform
 
@@ -82,7 +96,7 @@ class ICPOdometryProvider(OdometryProvider):
             initial_transform = jnp.broadcast_to(
                 jnp.eye(4, dtype=frames_pointclouds.points.dtype), (B, 4, 4)
             )
-        transforms = jax.vmap(solve_one)(
+        args = (
             frames_pointclouds.points,
             frames_pointclouds.nonpad_mask,
             maps_pointclouds.points,
@@ -90,4 +104,10 @@ class ICPOdometryProvider(OdometryProvider):
             maps_pointclouds.nonpad_mask,
             initial_transform,
         )
+        if self.dot_gate is not None:
+            transforms = jax.vmap(solve_one)(
+                *args, frames_pointclouds.normals
+            )
+        else:
+            transforms = jax.vmap(solve_one)(*args)
         return transforms[:, None]

@@ -156,6 +156,8 @@ def gauss_newton_solve(
     dist_thresh: Optional[float] = None,
     robust_loss: Optional[str] = None,
     robust_scale: float = 0.05,
+    src_normals: Optional[jnp.ndarray] = None,  # (N, 3), same frame as tgt
+    dot_gate: Optional[float] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     r"""Linearise the point-to-plane error around the current source cloud.
 
@@ -165,13 +167,27 @@ def gauss_newton_solve(
     ``A = [n | s x n]``, ``b = n . (d - s)`` (icputils.py:227-230).
     ``robust_loss`` IRLS-weights the rows (see :func:`robust_weights`) —
     a capability the reference lacks (plain least squares only).
+
+    ``dot_gate`` (with ``src_normals``, rotated to the same world frame as
+    the current ``src_pc`` iterate) additionally rejects rows whose source
+    and associated target normals disagree beyond the cosine gate — the
+    wrong-surface matches a pure distance gate admits when candidate spacing
+    is finer than the depth noise (docs/design.md §4; the same gate the
+    projective mode carries as ``dot_gate``).
     """
+    if dot_gate is not None and src_normals is None:
+        raise ValueError("dot_gate requires src_normals.")
     dists, idx = nn_points_auto(src_pc, tgt_pc, tgt_mask)
     valid = jnp.ones(src_pc.shape[0], dtype=bool) if src_mask is None else src_mask
     if dist_thresh is not None:
         valid = valid & (dists < dist_thresh)
+    assoc_normals = jnp.take(tgt_normals, idx, axis=0)
+    if dot_gate is not None:
+        valid = valid & (
+            jnp.sum(src_normals * assoc_normals, axis=-1) > dot_gate
+        )
     A, b = _ptp_system(src_pc, jnp.take(tgt_pc, idx, axis=0),
-                       jnp.take(tgt_normals, idx, axis=0), valid,
+                       assoc_normals, valid,
                        robust_loss, robust_scale)
     return A, b, idx
 
@@ -265,15 +281,22 @@ def _guard_robust_step(xi, A, robust_scale, src_pc, src_mask):
 
 
 def _reused_residual(pc, idx, tgt_pc, tgt_normals, src_mask, dist_thresh,
-                     robust_loss=None, robust_scale=0.05):
+                     robust_loss=None, robust_scale=0.05,
+                     src_normals=None, dot_gate=None):
     """Lookahead residual with the PREVIOUS association reused: recompute only
-    distances/residuals at the moved source positions (no second KNN)."""
+    distances/residuals at the moved source positions (no second KNN).
+    ``src_normals`` must be rotated to the moved source frame when
+    ``dot_gate`` is set (same gating as :func:`gauss_newton_solve`)."""
     assoc_pts = jnp.take(tgt_pc, idx, axis=0)
     assoc_normals = jnp.take(tgt_normals, idx, axis=0)
     valid = jnp.ones(pc.shape[0], dtype=bool) if src_mask is None else src_mask
     if dist_thresh is not None:
         dists = jnp.sum((pc - assoc_pts) ** 2, axis=-1)
         valid = valid & (dists < dist_thresh)
+    if dot_gate is not None:
+        valid = valid & (
+            jnp.sum(src_normals * assoc_normals, axis=-1) > dot_gate
+        )
     _, b = _ptp_system(pc, assoc_pts, assoc_normals, valid, robust_loss,
                        robust_scale)
     return b
@@ -303,6 +326,17 @@ def _icp_common_setup(src_pc, tgt_pc, tgt_normals, initial_transform, damp):
     return src0, tgt_pc, tgt_normals, initial_transform, damp
 
 
+def _setup_src_normals(src_normals, dot_gate, src0):
+    """Normalize the optional source-normal input for the dot gate: accept
+    the reference's (1, N, 3) convention and match the source dtype."""
+    if dot_gate is None or src_normals is None:
+        return None
+    src_normals = jnp.asarray(src_normals, dtype=src0.dtype)
+    if src_normals.ndim == 3:
+        src_normals = src_normals[0]
+    return src_normals
+
+
 def point_to_plane_ICP(
     src_pc,
     tgt_pc,
@@ -316,6 +350,8 @@ def point_to_plane_ICP(
     lookahead_assoc: str = "fresh",
     robust_loss: Optional[str] = None,
     robust_scale: float = 0.05,
+    src_normals: Optional[jnp.ndarray] = None,
+    dot_gate: Optional[float] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     r"""Point-to-plane ICP with the classic LM accept/reject loop
     (reference icputils.py:235-366), trust-region branch as ``where`` selects.
@@ -327,22 +363,37 @@ def point_to_plane_ICP(
     different trust-region decisions (not an approximation of the error —
     both are valid LM merit functions).
 
+    ``dot_gate`` (a minimum cosine, with ``src_normals`` in the SOURCE
+    cloud's frame — rotated to each iterate internally) rejects
+    normal-incompatible associations; see :func:`gauss_newton_solve`.
+
     Returns ``(transform (4, 4), chamfer_idx (N,))``.
     """
     if lookahead_assoc not in ("fresh", "reuse"):
         raise ValueError(f"Unknown lookahead_assoc mode: {lookahead_assoc}")
     if numiters < 1:
         raise ValueError(f"numiters must be >= 1. Got {numiters}.")
+    if dot_gate is not None and src_normals is None:
+        raise ValueError("dot_gate requires src_normals.")
     src0, tgt_pc, tgt_normals, init_T, damp0 = _icp_common_setup(
         src_pc, tgt_pc, tgt_normals, initial_transform, damp
     )
+    src_n = _setup_src_normals(src_normals, dot_gate, src0)
 
-    def gn(pc):
+    def gn(pc, nrm):
         return gauss_newton_solve(pc, tgt_pc, tgt_normals, src_mask, tgt_mask,
-                                  dist_thresh, robust_loss, robust_scale)
+                                  dist_thresh, robust_loss, robust_scale,
+                                  nrm, dot_gate)
 
     def body(state: _ICPState, _):
-        A, b, idx = gn(state.src_pc)
+        # current-iterate source normals: the accumulated transform includes
+        # initial_transform, and the cloud evolves as transform(src), so the
+        # normals are R(transform) @ n_src (rotation-only)
+        n_cur = (
+            None if src_n is None
+            else matmul_hp(src_n, state.transform[:3, :3].T)
+        )
+        A, b, idx = gn(state.src_pc, n_cur)
         xi = solve_linear_system(A, b, state.damp)
         if robust_loss is not None:  # see _guard_robust_step
             xi = _guard_robust_step(xi, A, robust_scale, state.src_pc,
@@ -350,13 +401,17 @@ def point_to_plane_ICP(
         residual_transform = se3_exp(xi)
         err = jnp.sum(b * b)
         one_step_pc = transform_pointcloud(state.src_pc, residual_transform)
+        n_step = (
+            None if n_cur is None
+            else matmul_hp(n_cur, residual_transform[:3, :3].T)
+        )
         if lookahead_assoc == "reuse":
             b1 = _reused_residual(
                 one_step_pc, idx, tgt_pc, tgt_normals, src_mask, dist_thresh,
-                robust_loss, robust_scale,
+                robust_loss, robust_scale, n_step, dot_gate,
             )
         else:
-            _, b1, _ = gn(one_step_pc)
+            _, b1, _ = gn(one_step_pc, n_step)
         new_err = jnp.sum(b1 * b1)
         accept = new_err < err
         new_state = _ICPState(
@@ -390,6 +445,8 @@ def point_to_plane_gradICP(
     lookahead_assoc: str = "fresh",
     robust_loss: Optional[str] = None,
     robust_scale: float = 0.05,
+    src_normals: Optional[jnp.ndarray] = None,
+    dot_gate: Optional[float] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     r"""Differentiable gradLM ICP (gradSLAM paper sec. gradLM; reference
     icputils.py:370-545). Smooth sigmoid-blended damping and step scaling;
@@ -400,6 +457,9 @@ def point_to_plane_gradICP(
     :func:`point_to_plane_ICP`) — it only modulates the smooth damping/step
     blending here, so trajectories stay close to 'fresh'.
 
+    ``dot_gate`` / ``src_normals``: normal-compatibility association gate,
+    as in :func:`point_to_plane_ICP`.
+
     Returns ``(transform (4, 4), chamfer_idx (N,))``.
     """
     if lookahead_assoc not in ("fresh", "reuse"):
@@ -409,17 +469,25 @@ def point_to_plane_gradICP(
         # opaque IndexError deep in the trace (the pyramid path already
         # validates its per-level iteration counts).
         raise ValueError(f"numiters must be >= 1. Got {numiters}.")
+    if dot_gate is not None and src_normals is None:
+        raise ValueError("dot_gate requires src_normals.")
     src0, tgt_pc, tgt_normals, init_T, damp0 = _icp_common_setup(
         src_pc, tgt_pc, tgt_normals, initial_transform, damp
     )
+    src_n = _setup_src_normals(src_normals, dot_gate, src0)
     lambda_min = 1.0 / lambda_max
 
-    def gn(pc):
+    def gn(pc, nrm):
         return gauss_newton_solve(pc, tgt_pc, tgt_normals, src_mask, tgt_mask,
-                                  dist_thresh, robust_loss, robust_scale)
+                                  dist_thresh, robust_loss, robust_scale,
+                                  nrm, dot_gate)
 
     def body(state: _ICPState, _):
-        A, b, idx = gn(state.src_pc)
+        n_cur = (
+            None if src_n is None
+            else matmul_hp(src_n, state.transform[:3, :3].T)
+        )
+        A, b, idx = gn(state.src_pc, n_cur)
         xi = solve_linear_system(A, b, state.damp)
         if robust_loss is not None:  # see _guard_robust_step
             xi = _guard_robust_step(xi, A, robust_scale, state.src_pc,
@@ -427,13 +495,17 @@ def point_to_plane_gradICP(
         residual_transform = se3_exp(xi)
         err = jnp.sum(b * b)
         one_step_pc = transform_pointcloud(state.src_pc, residual_transform)
+        n_step = (
+            None if n_cur is None
+            else matmul_hp(n_cur, residual_transform[:3, :3].T)
+        )
         if lookahead_assoc == "reuse":
             b1 = _reused_residual(
                 one_step_pc, idx, tgt_pc, tgt_normals, src_mask, dist_thresh,
-                robust_loss, robust_scale,
+                robust_loss, robust_scale, n_step, dot_gate,
             )
         else:
-            _, b1, _ = gn(one_step_pc)
+            _, b1, _ = gn(one_step_pc, n_step)
         new_err = jnp.sum(b1 * b1)
 
         errdiff = jnp.clip(new_err - err, -70.0, 70.0)

@@ -215,8 +215,9 @@ class MapShardedPointFusion:
             (``['projective', 'knn']`` — see :class:`gradslam_tpu.ICPSLAM`);
             trajectories match the single-device hybrid.
         odom_angle_gate: optional maximum angle (degrees) between the frame
-            normal at the landed pixel and the map normal
-            (``odom_assoc='projective'`` only; see
+            normal and the associated map normal, both association modes
+            (on KNN levels the strided frame normals ride as 3 extra source
+            channels and gate the nearest-neighbour rows; see
             :class:`gradslam_tpu.ICPSLAM`).
         odom_sym_normals: symmetric point-to-plane normals for the
             projective solver (``odom_assoc='projective'`` only; see
@@ -304,9 +305,10 @@ class MapShardedPointFusion:
             else odom_assoc == "projective"
         )
         if odom_angle_gate is not None:
-            if not any_projective:
+            if odom == "gt":
                 raise ValueError(
-                    "odom_angle_gate requires odom_assoc='projective'."
+                    "odom_angle_gate requires tracked odometry "
+                    "(odom='icp'/'gradicp'), not odom='gt'."
                 )
             if not (0 < odom_angle_gate <= 180):
                 raise ValueError(
@@ -427,7 +429,7 @@ class MapShardedPointFusion:
     # ------------------------------------------------------------------ #
 
     def _solve_one(self, src, src_mask, tgt, tgt_normals, tgt_mask,
-                   init_T=None, numiters=None):
+                   init_T=None, numiters=None, src_normals=None):
         kw = dict(
             initial_transform=(
                 jnp.eye(4, dtype=src.dtype) if init_T is None else init_T
@@ -440,6 +442,8 @@ class MapShardedPointFusion:
             lookahead_assoc=self.lookahead_assoc,
             robust_loss=self.robust_loss,
             robust_scale=self.robust_scale,
+            src_normals=src_normals,
+            dot_gate=self.odom_dot_gate if src_normals is not None else None,
         )
         if self.odom == "icp":
             T, _ = point_to_plane_ICP(src, tgt, tgt_normals, **kw)
@@ -523,6 +527,11 @@ class MapShardedPointFusion:
             a == "projective" for a in assocs
         )
         mixed = tracked and len(set(assocs)) > 1
+        # with an angle gate on a KNN level, the strided frame NORMALS ride
+        # as 3 extra channels of the source cloud (vertex | normal) so the
+        # scan plumbing/shard specs stay unchanged
+        knn_gate = self.odom_dot_gate is not None
+        src_w = 6 if knn_gate else 3
         if tracked and any(a == "knn" for a in assocs):
             # Strided local frame clouds for ICP (reference icputils.py:623),
             # one per pyramid level. The projective mode needs none of this —
@@ -532,12 +541,16 @@ class MapShardedPointFusion:
             sls, svs = [], []
             for (ds_l, _n), a_l in zip(levels, assocs):
                 if a_l == "projective":
-                    sls.append(jnp.zeros((L, B, 1, 3), jnp.float32))
+                    sls.append(jnp.zeros((L, B, 1, src_w), jnp.float32))
                     svs.append(jnp.zeros((L, B, 1), bool))
                     continue
                 sl_l = frames.vertex_map[:, :, ::ds_l, ::ds_l].reshape(B, L, -1, 3)
+                if knn_gate:
+                    sn_l = frames.normal_map[:, :, ::ds_l, ::ds_l].reshape(
+                        B, L, -1, 3)
+                    sl_l = jnp.concatenate([sl_l, sn_l], axis=-1)
                 sv_l = frames.valid_depth_mask[:, :, ::ds_l, ::ds_l].reshape(B, L, -1)
-                sls.append(jnp.moveaxis(sl_l, 1, 0))  # (L, B, Nf_l, 3)
+                sls.append(jnp.moveaxis(sl_l, 1, 0))  # (L, B, Nf_l, 3|6)
                 svs.append(jnp.moveaxis(sv_l, 1, 0))
             sl, sv = tuple(sls), tuple(svs)
         else:
@@ -700,14 +713,24 @@ class MapShardedPointFusion:
                     tmask = (jnp.arange(win, dtype=jnp.int32)[None, None]
                              < ac[..., None])  # (K,B,win)
                     tmask = jnp.moveaxis(tmask, 0, 1).reshape(B, K * win)
-                    src = _transform_pts(s_locs[li], pose_prev)
+                    src = _transform_pts(s_locs[li][..., :3], pose_prev)
 
-                    def solve(s, m, t, tn, tm, i, _n=n_l):
-                        return self._solve_one(s, m, t, tn, tm, i, _n)
+                    if knn_gate:
+                        src_n = _rotate_pts(s_locs[li][..., 3:6], pose_prev)
 
-                    T = jax.vmap(solve)(
-                        src, s_valids[li], tgt[..., :3], tgt[..., 3:6],
-                        tmask, T)
+                        def solve(s, m, t, tn, tm, i, sn, _n=n_l):
+                            return self._solve_one(s, m, t, tn, tm, i, _n, sn)
+
+                        T = jax.vmap(solve)(
+                            src, s_valids[li], tgt[..., :3], tgt[..., 3:6],
+                            tmask, T, src_n)
+                    else:
+                        def solve(s, m, t, tn, tm, i, _n=n_l):
+                            return self._solve_one(s, m, t, tn, tm, i, _n)
+
+                        T = jax.vmap(solve)(
+                            src, s_valids[li], tgt[..., :3], tgt[..., 3:6],
+                            tmask, T)
                 return compose_transformations(T, pose_prev)
 
             # ---- projective frame-to-map odometry, map-sharded ----------
@@ -897,14 +920,26 @@ class MapShardedPointFusion:
                             < ac[..., None]
                         )
                         tmask = jnp.moveaxis(tmask, 0, 1).reshape(B, K * win)
-                        src = _transform_pts(s_locs[li], pose_prev)
+                        src = _transform_pts(s_locs[li][..., :3], pose_prev)
 
-                        def solve(s, m, t, tn, tm, i, _n=n_l):
-                            return self._solve_one(s, m, t, tn, tm, i, _n)
+                        if knn_gate:
+                            src_n = _rotate_pts(
+                                s_locs[li][..., 3:6], pose_prev)
 
-                        X = jax.vmap(solve)(
-                            src, s_valids[li], tgt[..., :3], tgt[..., 3:6],
-                            tmask, X)
+                            def solve(s, m, t, tn, tm, i, sn, _n=n_l):
+                                return self._solve_one(
+                                    s, m, t, tn, tm, i, _n, sn)
+
+                            X = jax.vmap(solve)(
+                                src, s_valids[li], tgt[..., :3],
+                                tgt[..., 3:6], tmask, X, src_n)
+                        else:
+                            def solve(s, m, t, tn, tm, i, _n=n_l):
+                                return self._solve_one(s, m, t, tn, tm, i, _n)
+
+                            X = jax.vmap(solve)(
+                                src, s_valids[li], tgt[..., :3],
+                                tgt[..., 3:6], tmask, X)
                 return compose_transformations(X, pose_prev)
 
             # ---- frame 0: fuse at the bootstrap pose ----

@@ -74,12 +74,15 @@ class ICPSLAM:
             tangential drift projective association cannot observe
             (measured on the noisy hard clip: hybrid 18.6 mm vs pure
             projective 176 mm vs pure KNN 14.3 mm at ~8x pure-KNN speed).
-        odom_angle_gate: optional normal-compatibility gate (degrees) for
-            ``odom_assoc='projective'``: associations whose frame normal
-            deviates from the map normal by more than this angle are
-            rejected — discards wrong-surface correspondences a pure
-            distance gate admits, letting association density scale with
-            resolution on noisy depth (design.md §4). None disables.
+        odom_angle_gate: optional normal-compatibility gate (degrees),
+            BOTH association modes: associations whose frame normal
+            deviates from the associated map normal by more than this
+            angle are rejected — discards wrong-surface correspondences a
+            pure distance gate admits, letting association density scale
+            with resolution on noisy depth (design.md §4). In the KNN mode
+            the gate compares the downsampled frame cloud's normals
+            (rotated with the solver iterate) against the nearest map
+            point's. None disables.
         odom_sym_normals: use the symmetric normal
             ``normalize(n_map + n_frame)`` in the projective solver's
             point-to-plane rows (Rusinkiewicz's symmetric objective).
@@ -281,10 +284,10 @@ class ICPSLAM:
             odom_assoc[-1] if isinstance(odom_assoc, tuple) else odom_assoc
         )
         if odom_angle_gate is not None:
-            if not any_projective:
+            if odom == "gt":
                 raise ValueError(
-                    "odom_angle_gate requires odom_assoc='projective' (the "
-                    "KNN mode has no per-association frame normal to gate on)."
+                    "odom_angle_gate requires tracked odometry "
+                    "(odom='icp'/'gradicp'), not odom='gt'."
                 )
             if not (0 < odom_angle_gate <= 180):
                 raise ValueError(
@@ -394,15 +397,20 @@ class ICPSLAM:
                     sym_normals=odom_sym_normals,
                     point_weight=odom_point_weight,
                 )
+            knn_gate = (
+                None if odom_angle_gate is None
+                else math.cos(math.radians(odom_angle_gate))
+            )
             if odom == "icp":
                 return ICPOdometryProvider(
                     n_iters, damp, dist_thresh, lookahead_assoc,
-                    robust_loss, robust_scale,
+                    robust_loss, robust_scale, dot_gate=knn_gate,
                 )
             if odom == "gradicp":
                 return GradICPOdometryProvider(
                     n_iters, damp, dist_thresh, lambda_max, B, B2, nu,
                     lookahead_assoc, robust_loss, robust_scale,
+                    dot_gate=knn_gate,
                 )
             return None
 

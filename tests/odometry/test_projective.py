@@ -202,8 +202,8 @@ class TestProjectivePipeline:
     def test_validation(self):
         with pytest.raises(ValueError, match="odom_assoc"):
             ICPSLAM(odom="gradicp", odom_assoc="nearest")
-        with pytest.raises(ValueError, match="projective"):
-            ICPSLAM(odom="gradicp", odom_angle_gate=60.0)
+        with pytest.raises(ValueError, match="odom_angle_gate"):
+            ICPSLAM(odom="gt", odom_angle_gate=60.0)
         with pytest.raises(ValueError, match="odom_angle_gate"):
             ICPSLAM(odom="gradicp", odom_assoc="projective",
                     odom_angle_gate=-5.0)

@@ -579,9 +579,30 @@ class TestProjectiveSharded:
         with pytest.raises(ValueError, match="odom_assoc"):
             MapShardedPointFusion(map_capacity=8 * 16, mesh=mesh,
                                   odom_assoc="nearest")
-        with pytest.raises(ValueError, match="projective"):
+        with pytest.raises(ValueError, match="odom_angle_gate"):
             MapShardedPointFusion(map_capacity=8 * 16, mesh=mesh,
-                                  odom_angle_gate=60.0)
+                                  odom="gt", odom_angle_gate=60.0)
         with pytest.raises(ValueError, match="projective"):
             MapShardedPointFusion(map_capacity=8 * 16, mesh=mesh,
                                   odom_sym_normals=True)
+
+    def test_knn_gate_matches_single_device(self, mesh):
+        """odom_angle_gate on the sharded KNN mode: the strided frame
+        normals ride as 3 extra source channels and gate the per-level
+        all-gathered-window solves; trajectories must match the
+        single-device gated KNN pipeline."""
+        B, L, H, W = 1, 3, 16, 24
+        frames = synthetic_frames(B, L=L, H=H, W=W)
+        cap = 8 * 256
+        single = PointFusion(odom="gradicp", odom_assoc="knn",
+                             odom_angle_gate=75.0, dsratio=2, numiters=6,
+                             map_capacity=cap)
+        _, poses_s = single(frames)
+        sharded = MapShardedPointFusion(
+            map_capacity=cap, mesh=mesh, odom="gradicp",
+            odom_assoc="knn", odom_angle_gate=75.0, dsratio=2, numiters=6,
+        )
+        _, poses_m = sharded(frames)
+        np.testing.assert_allclose(
+            np.asarray(poses_m), np.asarray(poses_s), atol=1e-4
+        )
