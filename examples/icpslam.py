@@ -47,6 +47,12 @@ parser.add_argument(
     help="Weight of optional point-to-point rows in the projective solver "
     "(anti-drift at production resolutions; ~0.25; 0 = off).",
 )
+parser.add_argument(
+    "--odom-subpixel", action="store_true",
+    help="bilinear (sub-pixel) projective association: interpolate the "
+    "frame vertex/normal at the continuous projected pixel instead of "
+    "rounding (removes the half-pixel in-plane quantization floor; "
+    "projective association only)")
 parser.add_argument("--visualize", action="store_true")
 args = parser.parse_args()
 
@@ -77,6 +83,7 @@ def main():
     slam = ICPSLAM(odom=args.odometry, odom_assoc=args.odom_assoc,
                    odom_sym_normals=args.odom_sym_normals,
                    odom_point_weight=args.odom_point_weight,
+                   odom_subpixel=args.odom_subpixel,
                    icp_window_frames=args.icp_window_frames)
     pointclouds, recovered_poses = slam(frames)
     print("map points per sequence:", np.asarray(pointclouds.num_points))

@@ -115,6 +115,12 @@ parser.add_argument(
     help="Weight of optional point-to-point rows in the projective solver "
     "(anti-drift at production resolutions; ~0.25; 0 = off).",
 )
+parser.add_argument(
+    "--odom-subpixel", action="store_true",
+    help="bilinear (sub-pixel) projective association: interpolate the "
+    "frame vertex/normal at the continuous projected pixel instead of "
+    "rounding (removes the half-pixel in-plane quantization floor; "
+    "projective association only)")
 
 args = parser.parse_args()
 
@@ -148,6 +154,7 @@ def main():
     slam = cls(odom=args.odometry, odom_assoc=args.odom_assoc,
                odom_sym_normals=args.odom_sym_normals,
                odom_point_weight=args.odom_point_weight,
+               odom_subpixel=args.odom_subpixel,
                odom_angle_gate=args.odom_angle_gate,
                map_capacity=capacity, pyramid=pyramid,
                robust_loss=args.robust_loss, robust_scale=args.robust_scale,

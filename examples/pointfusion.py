@@ -95,11 +95,22 @@ parser.add_argument(
     "(anti-drift at production resolutions; ~0.25; 0 = off).",
 )
 parser.add_argument(
+    "--odom-subpixel", action="store_true",
+    help="bilinear (sub-pixel) projective association: interpolate the "
+    "frame vertex/normal at the continuous projected pixel instead of "
+    "rounding (removes the half-pixel in-plane quantization floor; "
+    "projective association only)")
+parser.add_argument(
     "--relocalize-below", type=float, default=0.0,
     help="In-scan failure branch: when the per-frame tracking-health "
     "inlier fraction drops below this, a multi-hypothesis relocalization "
     "runs inside the compiled forward (0 = off; 0.2-0.5 useful).",
 )
+parser.add_argument(
+    "--anchor-every", type=int, default=0,
+    help="freeze a keyframe anchor every N frames and auto-recover "
+    "slow drift against it in-scan (requires --relocalize-below; "
+    "0 = off)")
 parser.add_argument("--visualize", action="store_true")
 args = parser.parse_args()
 
@@ -156,8 +167,10 @@ def main():
         odom_assoc=args.odom_assoc,
         odom_sym_normals=args.odom_sym_normals,
         odom_point_weight=args.odom_point_weight,
+        odom_subpixel=args.odom_subpixel,
         odom_angle_gate=args.odom_angle_gate,
         relocalize_below=args.relocalize_below,
+        anchor_every=args.anchor_every,
     )
     pointclouds, recovered_poses = slam(frames)
     if args.quantize_colors:

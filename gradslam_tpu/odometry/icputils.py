@@ -102,6 +102,26 @@ def robust_weights(r: jnp.ndarray, loss: Optional[str], scale: float) -> jnp.nda
     )
 
 
+def _normal_gate(src_n, assoc_n, dot_gate):
+    r"""Cosine compatibility gate between two normal fields.
+
+    Robust to non-unit inputs: fused map normals are confidence-weighted
+    AVERAGES and are never renormalized (fusionutils ``fuse_with_map``), so
+    their norm is < 1 on blended surfaces — a raw dot against them would make
+    the effective gate tighter than ``cos(angle)`` exactly where the map is
+    well-observed. Comparing ``dot >= gate * |n1||n2|`` is the normalized
+    cosine test without a division (padding rows with zero normals get
+    ``0 >= gate * eps`` — rejected for positive gates, admitted for
+    non-positive ones, same as the normalized-cosine convention).
+
+    ``>=`` (not ``>``) so ``dot_gate=-1.0`` admits every row, including
+    exactly anti-parallel normals — equivalent to no gate at all.
+    """
+    dot = jnp.sum(src_n * assoc_n, axis=-1)
+    nn = jnp.linalg.norm(src_n, axis=-1) * jnp.linalg.norm(assoc_n, axis=-1)
+    return dot >= dot_gate * jnp.maximum(nn, 1e-12)
+
+
 def validate_robust(robust_loss, robust_scale) -> None:
     """Constructor-time validation of robust-kernel parameters (shared by the
     single-device and map-sharded pipelines)."""
@@ -175,17 +195,14 @@ def gauss_newton_solve(
     is finer than the depth noise (docs/design.md §4; the same gate the
     projective mode carries as ``dot_gate``).
     """
-    if dot_gate is not None and src_normals is None:
-        raise ValueError("dot_gate requires src_normals.")
+    _validate_gate_args(dot_gate, src_normals)
     dists, idx = nn_points_auto(src_pc, tgt_pc, tgt_mask)
     valid = jnp.ones(src_pc.shape[0], dtype=bool) if src_mask is None else src_mask
     if dist_thresh is not None:
         valid = valid & (dists < dist_thresh)
     assoc_normals = jnp.take(tgt_normals, idx, axis=0)
     if dot_gate is not None:
-        valid = valid & (
-            jnp.sum(src_normals * assoc_normals, axis=-1) > dot_gate
-        )
+        valid = valid & _normal_gate(src_normals, assoc_normals, dot_gate)
     A, b = _ptp_system(src_pc, jnp.take(tgt_pc, idx, axis=0),
                        assoc_normals, valid,
                        robust_loss, robust_scale)
@@ -218,7 +235,7 @@ def _safe_sqrt(sq):
     return jnp.where(sq > 0, jnp.sqrt(safe), 0.0)
 
 
-def _guard_robust_step(xi, A, robust_scale, src_pc, src_mask):
+def _guard_robust_step(xi, A, robust_scale, src_pc, src_mask, wmass=None):
     r"""Step guard for robust solves: bound + fade the solved update.
 
     A hard-rejecting kernel (tukey) can zero (or nearly zero) EVERY row of
@@ -258,7 +275,8 @@ def _guard_robust_step(xi, A, robust_scale, src_pc, src_mask):
       chasing noise.
     """
     mass_floor = min(_MIN_INLIER_MASS, 0.5 * src_pc.shape[0])
-    wmass = jnp.sum(A[:, :3] ** 2)
+    if wmass is None:
+        wmass = jnp.sum(A[:, :3] ** 2)
     fade = jnp.minimum(1.0, wmass / mass_floor)
     radius = _TRUST_RADIUS_SCALES * robust_scale
     xi_flat = xi.reshape(-1)
@@ -294,9 +312,7 @@ def _reused_residual(pc, idx, tgt_pc, tgt_normals, src_mask, dist_thresh,
         dists = jnp.sum((pc - assoc_pts) ** 2, axis=-1)
         valid = valid & (dists < dist_thresh)
     if dot_gate is not None:
-        valid = valid & (
-            jnp.sum(src_normals * assoc_normals, axis=-1) > dot_gate
-        )
+        valid = valid & _normal_gate(src_normals, assoc_normals, dot_gate)
     _, b = _ptp_system(pc, assoc_pts, assoc_normals, valid, robust_loss,
                        robust_scale)
     return b
@@ -324,6 +340,20 @@ def _icp_common_setup(src_pc, tgt_pc, tgt_normals, initial_transform, damp):
     src0 = transform_pointcloud(src_pc, initial_transform)
     damp = jnp.asarray(damp, dtype=src_pc.dtype)
     return src0, tgt_pc, tgt_normals, initial_transform, damp
+
+
+def _validate_gate_args(dot_gate, src_normals):
+    """The gate needs both halves: reject either one alone loudly (a lone
+    ``src_normals`` used to be a silent no-op — asymmetric API, ADVICE r4)."""
+    if dot_gate is not None and src_normals is None:
+        raise ValueError("dot_gate requires src_normals.")
+    if src_normals is not None and dot_gate is None:
+        raise ValueError(
+            "src_normals were provided but dot_gate is None — the gate is "
+            "the only consumer of source normals, so they would be silently "
+            "ignored. Pass dot_gate (e.g. -1.0 to admit everything) or drop "
+            "src_normals."
+        )
 
 
 def _setup_src_normals(src_normals, dot_gate, src0):
@@ -373,8 +403,7 @@ def point_to_plane_ICP(
         raise ValueError(f"Unknown lookahead_assoc mode: {lookahead_assoc}")
     if numiters < 1:
         raise ValueError(f"numiters must be >= 1. Got {numiters}.")
-    if dot_gate is not None and src_normals is None:
-        raise ValueError("dot_gate requires src_normals.")
+    _validate_gate_args(dot_gate, src_normals)
     src0, tgt_pc, tgt_normals, init_T, damp0 = _icp_common_setup(
         src_pc, tgt_pc, tgt_normals, initial_transform, damp
     )
@@ -469,8 +498,7 @@ def point_to_plane_gradICP(
         # opaque IndexError deep in the trace (the pyramid path already
         # validates its per-level iteration counts).
         raise ValueError(f"numiters must be >= 1. Got {numiters}.")
-    if dot_gate is not None and src_normals is None:
-        raise ValueError("dot_gate requires src_normals.")
+    _validate_gate_args(dot_gate, src_normals)
     src0, tgt_pc, tgt_normals, init_T, damp0 = _icp_common_setup(
         src_pc, tgt_pc, tgt_normals, initial_transform, damp
     )

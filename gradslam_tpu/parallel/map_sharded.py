@@ -224,6 +224,10 @@ class MapShardedPointFusion:
             :class:`gradslam_tpu.ICPSLAM` — the anti-drift fix for noisy
             depth). Matches the single-device pipeline's knob so sharded
             trajectories stay comparable config-for-config.
+        odom_subpixel: bilinear (sub-pixel) projective association
+            (``odom_assoc='projective'`` only; see
+            :class:`gradslam_tpu.ICPSLAM`) — per-shard lookups, no extra
+            collective traffic.
         pyramid: optional coarse-to-fine ``[(dsratio, numiters), ...]``
             schedule (see :class:`gradslam_tpu.ICPSLAM`) — each level
             all-gathers its own target window and warm-starts the next.
@@ -254,6 +258,7 @@ class MapShardedPointFusion:
         odom_assoc: str = "knn",
         odom_angle_gate: Optional[float] = None,
         odom_sym_normals: bool = False,
+        odom_subpixel: bool = False,
         dsratio: int = 4,
         numiters: int = 20,
         pyramid: Optional[list] = None,
@@ -324,6 +329,11 @@ class MapShardedPointFusion:
                 "odom_sym_normals requires odom_assoc='projective'."
             )
         self.odom_sym_normals = bool(odom_sym_normals)
+        if odom_subpixel and not any_projective:
+            raise ValueError(
+                "odom_subpixel requires odom_assoc='projective'."
+            )
+        self.odom_subpixel = bool(odom_subpixel)
         if normal_pitch is not None and (
             not isinstance(normal_pitch, int) or normal_pitch < 1
         ):
@@ -751,6 +761,7 @@ class MapShardedPointFusion:
             is_lm = self.odom == "icp"
 
             sym_nrm = self.odom_sym_normals
+            subpix = self.odom_subpixel
 
             def _proj_rows(m_pts, m_nrm, m_mask, fgeo, pose):
                 """Batched association + masked point-to-plane rows.
@@ -759,7 +770,8 @@ class MapShardedPointFusion:
                 reuse-lookahead residual reuses the same rows."""
                 def one(mp, mn, mm, fg, Kmat, po):
                     s, val, nf = projective_associate(
-                        mp, mn, mm, fg, Kmat, po, H, W, dthr, dgate)
+                        mp, mn, mm, fg, Kmat, po, H, W, dthr, dgate,
+                        subpix)
                     n = mn
                     if sym_nrm:
                         nsum = mn + nf

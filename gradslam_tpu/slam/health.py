@@ -40,7 +40,7 @@ affordable and calling it every K frames is ~free.
 from __future__ import annotations
 
 import math
-from typing import Dict, Optional
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -248,6 +248,91 @@ def _association_health(
     }
 
 
+def _pack_frame_geom(live_frame: RGBDImages) -> jnp.ndarray:
+    """The packed ``(B, H*W, 8)`` association image (vertex | normal |
+    valid | 0) the projective association consumes — shared by the
+    projective provider, health, and the in-scan gates."""
+    B, _, H, W = live_frame.shape
+    HW = H * W
+    vert = live_frame.vertex_map.reshape(B, HW, 3)
+    nrm = live_frame.normal_map.reshape(B, HW, 3)
+    vld = live_frame.valid_depth_mask.reshape(B, HW, 1).astype(vert.dtype)
+    return jnp.concatenate([vert, nrm, vld, jnp.zeros_like(vld)], axis=-1)
+
+
+def _window_health_knn(
+    frames_pc: Pointclouds,
+    maps_pc: Pointclouds,
+    *,
+    robust_scale: float,
+    dist_thresh: Optional[float],
+) -> jnp.ndarray:
+    """``inlier_frac`` of :func:`_association_health` computed against a
+    PRE-COMPACTED map window (the odometry solver's own finest-level target)
+    instead of re-projecting and re-compacting the full map buffer — the
+    in-scan relocalization gate's healthy-path fast lane: zero O(capacity)
+    passes beyond what the solve already paid (VERDICT r4 #4)."""
+
+    def health_one(src, src_mask, tgt, tgt_normals, tgt_mask):
+        dists, idx = nn_points_auto(src, tgt, tgt_mask)
+        admissible = src_mask & (dists < _FINITE_DIST)
+        if dist_thresh is not None:
+            admissible = admissible & (dists < dist_thresh)
+        d = jnp.take(tgt, idx, axis=0)
+        n = jnp.take(tgt_normals, idx, axis=0)
+        r = jnp.abs(jnp.sum(n * (d - src), axis=-1))
+        n_src = jnp.maximum(jnp.sum(src_mask), 1.0)
+        return jnp.sum(admissible & (r <= robust_scale)) / n_src
+
+    return jax.vmap(health_one)(
+        frames_pc.points,
+        frames_pc.nonpad_mask,
+        maps_pc.points,
+        maps_pc.normals,
+        maps_pc.nonpad_mask,
+    )
+
+
+def _window_health_projective(
+    maps_pc: Pointclouds,
+    frame_geom: jnp.ndarray,  # (B, H*W, 8)
+    intrinsics: jnp.ndarray,  # (B, 4, 4)
+    poses: jnp.ndarray,  # (B, 4, 4) — the pose under test
+    H: int,
+    W: int,
+    *,
+    robust_scale: float,
+    dist_thresh: Optional[float],
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Projective-association counterpart of :func:`_window_health_knn`:
+    ``(inlier_frac, assoc_frac)`` over a pre-compacted map window — one
+    streaming projection + one row gather, no O(capacity) passes.
+    ``assoc_frac`` (fraction of window rows with an admissible association
+    at all) doubles as a visibility guard: a window that left the frustum
+    reads assoc_frac ~0 rather than a spurious alarm."""
+    from ..odometry.projective import projective_associate
+
+    def health_one(m_pts, m_nrm, m_mask, fgeom, K, pose):
+        s, admissible, _ = projective_associate(
+            m_pts, m_nrm, m_mask, fgeom, K, pose, H, W, dist_thresh
+        )
+        r = jnp.abs(jnp.sum(m_nrm * (m_pts - s), axis=-1))
+        n_rows = jnp.maximum(jnp.sum(m_mask), 1.0)
+        return (
+            jnp.sum(admissible & (r <= robust_scale)) / n_rows,
+            jnp.sum(admissible) / n_rows,
+        )
+
+    return jax.vmap(health_one)(
+        maps_pc.points,
+        maps_pc.normals,
+        maps_pc.nonpad_mask,
+        frame_geom,
+        intrinsics,
+        poses,
+    )
+
+
 def _projective_health(
     pointclouds: Pointclouds,
     live_frame: RGBDImages,
@@ -282,13 +367,7 @@ def _projective_health(
     maps_pc = downsample_pointclouds(
         target, active.valid, active.pix_h, active.pix_w, dsratio, cap
     )
-    HW = H * W
-    vert = live_frame.vertex_map.reshape(B, HW, 3)
-    nrm = live_frame.normal_map.reshape(B, HW, 3)
-    validp = live_frame.valid_depth_mask.reshape(B, HW, 1).astype(vert.dtype)
-    frame_geom = jnp.concatenate(
-        [vert, nrm, validp, jnp.zeros_like(validp)], axis=-1
-    )
+    frame_geom = _pack_frame_geom(live_frame)
 
     def health_one(m_pts, m_nrm, m_mask, fgeom, K, pose):
         s, admissible, _ = projective_associate(

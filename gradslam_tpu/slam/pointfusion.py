@@ -35,6 +35,7 @@ class PointFusion(ICPSLAM):
         odom_angle_gate: Optional[float] = None,
         odom_sym_normals: bool = False,
         odom_point_weight: float = 0.0,
+        odom_subpixel: bool = False,
         dist_th: Union[float, int] = 0.05,
         angle_th: Union[float, int] = 20,
         sigma: Union[float, int] = 0.6,
@@ -66,6 +67,9 @@ class PointFusion(ICPSLAM):
         relocalize_grid: Optional[dict] = None,
         relocalize_dsratio: int = 8,
         relocalize_numiters: int = 12,
+        anchor_every: int = 0,
+        anchor_below: float = 0.98,
+        anchor_dsratio: Optional[int] = None,
         use_jit: bool = True,
         remat: bool = False,
     ):
@@ -87,6 +91,7 @@ class PointFusion(ICPSLAM):
             odom_angle_gate=odom_angle_gate,
             odom_sym_normals=odom_sym_normals,
             odom_point_weight=odom_point_weight,
+            odom_subpixel=odom_subpixel,
             dsratio=dsratio,
             numiters=numiters,
             pyramid=pyramid,
@@ -111,6 +116,9 @@ class PointFusion(ICPSLAM):
             relocalize_grid=relocalize_grid,
             relocalize_dsratio=relocalize_dsratio,
             relocalize_numiters=relocalize_numiters,
+            anchor_every=anchor_every,
+            anchor_below=anchor_below,
+            anchor_dsratio=anchor_dsratio,
             use_jit=use_jit,
             remat=remat,
         )

@@ -179,6 +179,23 @@ if __name__ == "__main__":
             "map_counts": hcounts,
             "ate_m": hate,
         }
+    elif "--hard-clip-320" in sys.argv:
+        # 320x240 anchor for the hard-clip bench rows (VERDICT r4 #8): the
+        # same reference pipeline at the resolution where this framework's
+        # normal_pitch/projective configs are benched, so those rows carry
+        # vs_baseline instead of None.
+        hfps, hdt, hcounts, hate = measure_hard_clip(H=240, W=320)
+        result["hard_clip_baseline_320x240"] = {
+            "config": (
+                "PointFusion + GradICP (plain LS — all the reference has), "
+                "30 frames hard clip 320x240, batch 1, dsratio=4, "
+                "numiters=10"
+            ),
+            "reference_fps": hfps,
+            "wall_s": hdt,
+            "map_counts": hcounts,
+            "ate_m": hate,
+        }
     elif "--large-map" in sys.argv:
         lfps, ldt, lcounts = measure_large_map()
         result["large_map_baseline"] = {

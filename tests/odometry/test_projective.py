@@ -441,3 +441,205 @@ class TestNestedPyramidWindows:
         _, op = jax.jit(lambda f: pf(f))(fr)
         ate = float(ate_rmse(op[0], fr.poses[0]))
         assert ate < 5e-4
+
+
+class TestAnalyticPointBlock:
+    """point_weight's normal-equation fold (VERDICT r4 #5): the analytic
+    block must match the row-concatenating formulation it replaced — same
+    AtA/Atb/err/guard-mass, hence the same solved step."""
+
+    def _oracle_rows(self, s, d, valid, point_weight, loss, scale):
+        from gradslam_tpu.odometry.icputils import _ptp_system
+
+        w = point_weight ** 0.5
+        eye3 = jnp.eye(3, dtype=s.dtype)
+        blocks_A, blocks_b = [], []
+        for k in range(3):
+            ek = jnp.broadcast_to(w * eye3[k], s.shape)
+            Ak, bk = _ptp_system(s, d, ek, valid, loss, scale * w)
+            blocks_A.append(Ak)
+            blocks_b.append(bk)
+        return jnp.concatenate(blocks_A, 0), jnp.concatenate(blocks_b, 0)
+
+    @pytest.mark.parametrize("loss,scale", [(None, 0.05), ("huber", 0.05),
+                                            ("tukey", 0.03)])
+    def test_block_matches_concatenated_rows(self, loss, scale):
+        from gradslam_tpu.odometry.projective import _point_block_normal_eq
+
+        rng = np.random.RandomState(0)
+        N, pw = 257, 0.25
+        s = jnp.asarray(rng.randn(N, 3).astype(np.float32))
+        d = s + jnp.asarray((rng.randn(N, 3) * 0.02).astype(np.float32))
+        valid = jnp.asarray(rng.rand(N) > 0.3)
+        A, b = self._oracle_rows(s, d, valid, pw, loss, scale)
+        AtA_o = np.asarray(A.T @ A)
+        Atb_o = np.asarray(A.T @ b)
+        err_o = float(jnp.sum(b * b))
+        mass_o = float(jnp.sum(A[:, :3] ** 2))
+        AtA, Atb, err, mass = _point_block_normal_eq(s, d, valid, pw, loss,
+                                                     scale)
+        np.testing.assert_allclose(np.asarray(AtA), AtA_o, rtol=1e-4,
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(Atb), Atb_o, rtol=1e-4,
+                                   atol=1e-6)
+        np.testing.assert_allclose(float(err), err_o, rtol=1e-5)
+        np.testing.assert_allclose(float(mass), mass_o, rtol=1e-5)
+
+    def test_solved_step_matches_row_formulation(self):
+        """Full composed system (plane rows + point block): the 6-vector
+        solved from the analytic normal equations equals the one solved
+        from the concatenated (4N, 6) row system."""
+        from gradslam_tpu.odometry.icputils import _ptp_system
+        from gradslam_tpu.odometry.projective import _point_block_normal_eq
+
+        rng = np.random.RandomState(1)
+        N, pw, loss, scale, damp = 181, 0.25, "tukey", 0.03, 1e-6
+        s = jnp.asarray(rng.randn(N, 3).astype(np.float32))
+        d = s + jnp.asarray((rng.randn(N, 3) * 0.01).astype(np.float32))
+        n = jnp.asarray(rng.randn(N, 3).astype(np.float32))
+        n = n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+        valid = jnp.asarray(rng.rand(N) > 0.2)
+        A_pl, b_pl = _ptp_system(s, d, n, valid, loss, scale)
+        A_pt, b_pt = self._oracle_rows(s, d, valid, pw, loss, scale)
+        A = jnp.concatenate([A_pl, A_pt], 0)
+        b = jnp.concatenate([b_pl, b_pt], 0)
+        from gradslam_tpu.odometry.icputils import solve_linear_system
+
+        xi_rows = solve_linear_system(A, b, damp)
+        AtA, Atb, _, _ = _point_block_normal_eq(s, d, valid, pw, loss, scale)
+        from gradslam_tpu.utils.precision import matmul_hp
+
+        AtA = AtA + matmul_hp(A_pl.T, A_pl) + damp * jnp.eye(6)
+        Atb = Atb + matmul_hp(A_pl.T, b_pl)
+        xi_ne = jnp.linalg.solve(AtA, Atb)
+        np.testing.assert_allclose(np.asarray(xi_ne), np.asarray(xi_rows),
+                                   rtol=1e-3, atol=1e-6)
+
+
+class TestSubpixel:
+    def test_subpixel_exact_on_planar_scene_off_grid(self):
+        """On a flat wall the vertex map is linear in the pixel, so the
+        bilinear lookup is EXACT for off-lattice projections while the
+        nearest-pixel lookup carries up to half a pixel of in-plane error
+        (the quantization floor odom_subpixel removes; design.md §4)."""
+        H, W = 48, 64
+        fx = fy = 50.0
+        cx, cy = (W - 1) / 2.0, (H - 1) / 2.0
+        K = jnp.asarray(
+            [[[[fx, 0, cx, 0], [0, fy, cy, 0], [0, 0, 1, 0], [0, 0, 0, 1]]]],
+            jnp.float32)
+        depth = jnp.full((1, 1, H, W, 1), 2.0, jnp.float32)  # flat wall z=2
+        rgb = jnp.zeros((1, 1, H, W, 3), jnp.float32)
+        pose = jnp.eye(4, dtype=jnp.float32)[None, None]
+        frame = RGBDImages(rgb, depth, K, pose)
+        geom = frame_geom_of(frame)
+        # continuous wall points landing at pixel centers + (0.5, 0.5)
+        rng = np.random.RandomState(0)
+        uu = rng.uniform(8, W - 8, 500).astype(np.float32) + 0.5
+        vv = rng.uniform(8, H - 8, 500).astype(np.float32) + 0.5
+        z = 2.0
+        pts = jnp.asarray(
+            np.stack([(uu - cx) / fx * z, (vv - cy) / fy * z,
+                      np.full_like(uu, z)], -1))
+        nrm = jnp.asarray(np.tile([0.0, 0.0, -1.0], (500, 1)).astype(
+            np.float32))
+        mask = jnp.ones(500, bool)
+        errs = {}
+        for sp in (False, True):
+            s, valid, _ = projective_associate(
+                pts, nrm, mask, geom, K[0, 0], pose[0, 0], H, W,
+                subpixel=sp)
+            assert bool(jnp.all(valid))
+            errs[sp] = float(jnp.max(jnp.linalg.norm(s - pts, axis=-1)))
+        # nearest: ~half-pixel * z/f = 0.5 * 2/50 = 0.02 m; bilinear: exact
+        assert errs[False] > 0.01
+        assert errs[True] < 1e-5
+
+    def test_solver_recovery_with_subpixel(self):
+        frame = one_frame()
+        _, _, H, W = frame.shape
+        pts = frame.global_vertex_map.reshape(1, H * W, 3)
+        nrm = frame.global_normal_map.reshape(1, H * W, 3)
+        mask = frame.valid_depth_mask.reshape(1, H * W)
+        maps_pc = Pointclouds(points=pts, normals=nrm,
+                              num_points=mask.sum(-1).astype(jnp.int32))
+        order = jnp.argsort(~mask[0])
+        maps_pc = dataclasses.replace(
+            maps_pc, points=pts[:, order], normals=nrm[:, order])
+        true_pose = frame.poses[0, 0]
+        delta = se3_exp(jnp.asarray([0.02, -0.01, 0.015, 0.01, -0.02, 0.008]))
+        init = (delta @ true_pose)[None, None]
+        prov = ProjectiveOdometryProvider(numiters=15, subpixel=True)
+        X = prov.provide(maps_pc, frame.with_poses(init))
+        solved = np.asarray(X[0, 0] @ init[0, 0])
+        np.testing.assert_allclose(solved, np.asarray(true_pose), atol=2e-3)
+
+    def test_subpixel_point_rows_beat_nearest_point_rows(self):
+        """The half-pixel floor the point rows inherit from nearest-pixel
+        association (TestSymNormalsAndPointRows atol=0.03) drops with the
+        bilinear lookup: same solve, tighter recovery."""
+        frame = one_frame()
+        _, _, H, W = frame.shape
+        pts = frame.global_vertex_map.reshape(1, H * W, 3)
+        nrm = frame.global_normal_map.reshape(1, H * W, 3)
+        mask = frame.valid_depth_mask.reshape(1, H * W)
+        maps_pc = Pointclouds(points=pts, normals=nrm,
+                              num_points=mask.sum(-1).astype(jnp.int32))
+        order = jnp.argsort(~mask[0])
+        maps_pc = dataclasses.replace(
+            maps_pc, points=pts[:, order], normals=nrm[:, order])
+        true_pose = frame.poses[0, 0]
+        delta = se3_exp(jnp.asarray([0.02, -0.01, 0.015, 0.01, -0.02, 0.008]))
+        init = (delta @ true_pose)[None, None]
+        errs = {}
+        for sp in (False, True):
+            prov = ProjectiveOdometryProvider(numiters=15, point_weight=0.25,
+                                              subpixel=sp)
+            X = prov.provide(maps_pc, frame.with_poses(init))
+            errs[sp] = float(np.abs(
+                np.asarray(X[0, 0] @ init[0, 0]) - np.asarray(true_pose)
+            ).max())
+        assert errs[True] < 0.5 * errs[False]
+        assert errs[True] < 5e-3
+
+    def test_pipeline_and_validation(self):
+        B, L, H, W = 1, 6, 60, 80
+        rgb, d, K, poses = synthetic_sequence(B, L, H, W)
+        fr = RGBDImages(jnp.asarray(rgb), jnp.asarray(d), jnp.asarray(K),
+                        jnp.asarray(poses))
+        ates = {}
+        for sp in (False, True):
+            pf = PointFusion(odom="gradicp", odom_assoc="projective",
+                             odom_sym_normals=True, odom_subpixel=sp,
+                             dsratio=2, numiters=8, map_capacity=L * H * W)
+            _, op = jax.jit(lambda f, pf=pf: pf(f))(fr)
+            ates[sp] = float(ate_rmse(op[0], fr.poses[0]))
+        assert ates[True] < 2e-3
+        assert ates[True] <= max(1.2 * ates[False], 1e-4)
+        with pytest.raises(ValueError, match="odom_subpixel"):
+            ICPSLAM(odom="gradicp", odom_assoc="knn", odom_subpixel=True)
+
+    def test_subpixel_differentiable(self):
+        """The bilinear weights depend on the pose/depth, so gradients flow
+        through the sub-pixel association too."""
+        frame = one_frame(H=32, W=40)
+        _, _, H, W = frame.shape
+        pts = frame.global_vertex_map.reshape(1, H * W, 3)[0]
+        nrm = frame.global_normal_map.reshape(1, H * W, 3)[0]
+        true_pose = frame.poses[0, 0]
+        delta = se3_exp(jnp.asarray([0.01, 0.0, 0.0, 0.0, 0.01, 0.0]))
+        init = delta @ true_pose
+
+        def loss(depth):
+            fr = dataclasses.replace(frame, depth_image=depth)
+            geom = frame_geom_of(fr)
+            X = point_to_plane_gradICP_projective(
+                pts, nrm, jnp.ones(pts.shape[0], bool), geom,
+                fr.intrinsics[0, 0], init, H, W, numiters=4, subpixel=True,
+            )
+            return jnp.sum((X @ init - true_pose) ** 2)
+
+        g = jax.grad(loss)(frame.depth_image)
+        ga = np.asarray(g)
+        assert np.isfinite(ga).all()
+        assert np.abs(ga).max() > 0

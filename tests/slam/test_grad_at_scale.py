@@ -135,3 +135,55 @@ def test_tracked_backward_through_gradicp_runs_on_chip():
     )
     assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
     assert "OK" in r.stdout
+
+
+_BATCHED_BACKWARD = textwrap.dedent(
+    """
+    import jax, jax.numpy as jnp, numpy as np
+    jax.config.update("jax_compilation_cache_dir", "/root/.jaxcache")
+    from __graft_entry__ import _synthetic_frames_arrays
+    from gradslam_tpu import PointFusion, RGBDImages
+
+    B, L, H, W = 8, 8, 240, 320
+    rgb, depths, intrinsics, poses = _synthetic_frames_arrays(B, L, H, W)
+    rgb_j, poses_j = jnp.asarray(rgb), jnp.asarray(poses)
+    slam = PointFusion(odom="gt", use_jit=False, remat=True,
+                       map_capacity=L * H * W)
+
+    def loss_fn(d, K):
+        fr = RGBDImages(rgb_j, d, K, poses_j)
+        pc, traj = slam.forward(fr)
+        return jnp.sum(pc.points**2)
+
+    g = jax.jit(jax.grad(loss_fn, argnums=(0, 1)))(
+        jnp.asarray(depths), jnp.asarray(intrinsics))
+    gd = float(np.abs(np.asarray(g[0])).max())
+    gk = float(np.abs(np.asarray(g[1])).max())
+    assert np.isfinite(gd) and np.isfinite(gk) and gd > 0 and gk > 0, (gd, gk)
+    print("OK", gd, gk)
+    """
+)
+
+
+@pytest.mark.slow
+def test_batched_backward_at_benchmark_scale_runs_on_chip():
+    """Batched differentiable SLAM at benchmark scale (VERDICT r4 #6: the
+    flagship config moved from 120x160/L=4 to 320x240/L=8): backward
+    through 8 simultaneously-vmapped 8-frame fused forwards, remat on —
+    finite, nonzero gradients to every sequence's depth + intrinsics."""
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", _PROBE], capture_output=True, text=True,
+            timeout=180, env=_tpu_env(),
+        )
+    except subprocess.TimeoutExpired:
+        pytest.skip("requires a TPU backend (device probe hung)")
+    if r.returncode != 0:
+        pytest.skip("requires a TPU backend")
+
+    r = subprocess.run(
+        [sys.executable, "-c", _BATCHED_BACKWARD], capture_output=True,
+        text=True, timeout=1800, env=_tpu_env(), cwd=REPO,
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert "OK" in r.stdout
