@@ -147,6 +147,16 @@ def run(out_path=None):
 
     def timed(tag, slam, frames, B, L, iters=4, baseline=None, ate=False,
               hw=None):
+        # One bad config must not kill an unattended suite run (the
+        # watcher-driven round-5 runs execute with nobody at the wheel):
+        # record the failure as a row and keep measuring.
+        try:
+            _timed(tag, slam, frames, B, L, iters, baseline, ate, hw)
+        except Exception as e:
+            record({"metric": tag, "value": None, "unit": "frames/s",
+                    "error": f"{type(e).__name__}: {str(e)[:300]}"})
+
+    def _timed(tag, slam, frames, B, L, iters, baseline, ate, hw):
         # On-device checksum readback: see measure_fps note above.
         @jax.jit
         def go_jit(fr):

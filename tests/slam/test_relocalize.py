@@ -202,3 +202,41 @@ class TestLocalizeMapUpdateDecomposition:
                         dataclasses.replace(prev, poses=None))
         with pytest.raises(ValueError, match="poses"):
             pf.map_update(pc, dataclasses.replace(frames[:, L - 1], poses=None))
+
+
+class TestHypothesisMode:
+    def test_scan_equals_vmap(self, tracked_run):
+        """hypothesis_mode='scan' (the memory-bounded mode the in-scan
+        branch embeds — only one hypothesis window live at a time) must
+        produce the same solved poses and scores as the concurrent vmap."""
+        frames, pc, op, L = tracked_run
+        bad = kidnap(op[:, L - 1])
+        live = frames[:, L - 1]
+        anchors = perturbation_grid(
+            bad, yaw_deg=(0.0, -15.0, 15.0),
+            translations=((0, 0, 0), (-0.3, 0, 0)),
+        )
+        outs = {}
+        for mode in ("vmap", "scan"):
+            poses, info = relocalize(pc, live, anchors, dsratio=4,
+                                     numiters=8, robust_scale=0.03,
+                                     hypothesis_mode=mode)
+            outs[mode] = (np.asarray(poses),
+                          np.asarray(info["hypothesis_inlier_frac"]),
+                          int(info["best_hypothesis"][0]))
+        # fp-ordering differences between the vmap'd and sequential solves
+        # compound over the LM iterations (measured ~3e-4 over 8 iters on
+        # this noisy clip), so equality is same-winner + sub-mm poses, not
+        # bit-identity
+        assert outs["scan"][2] == outs["vmap"][2]
+        np.testing.assert_allclose(outs["scan"][0], outs["vmap"][0],
+                                   atol=2e-3)
+        np.testing.assert_allclose(outs["scan"][1], outs["vmap"][1],
+                                   atol=2e-2)
+
+    def test_unknown_mode_raises(self, tracked_run):
+        frames, pc, op, L = tracked_run
+        anchors = perturbation_grid(op[:, L - 1])
+        with pytest.raises(ValueError, match="hypothesis_mode"):
+            relocalize(pc, frames[:, L - 1], anchors,
+                       hypothesis_mode="parallel")
