@@ -554,10 +554,12 @@ def run(out_path=None):
     # hybrid proj+KNN pyramid at the north-star resolution (VERDICT r4 #3:
     # the 320x240 hybrid delivered 25.9 mm @ 32.3 fps but was never benched
     # at 640x480). KNN level at ds8 = the known-good 640x480 KNN regime.
+    # CPU sweep 2026-08-20: gate45 24.3 mm, gate30 33.2 mm, 6 KNN iters
+    # 45.1 mm (more KNN iterations chase noise — same mechanism as r4).
     hslam_hyb640 = PointFusion(
         odom="gradicp", pyramid=[(8, 6), (8, 4)],
         odom_assoc=["projective", "knn"], odom_sym_normals=True,
-        odom_angle_gate=30.0, map_capacity=L * H * W,
+        odom_angle_gate=45.0, map_capacity=L * H * W,
         motion_model="constant_velocity", robust_loss="tukey",
         robust_scale=0.03, dist_thresh=0.01, normal_pitch=4,
     )
@@ -609,6 +611,7 @@ def run(out_path=None):
         odom="gradicp", odom_assoc="projective", odom_sym_normals=True,
         pyramid=[(8, 6), (4, 2)], lookahead_assoc="reuse",
         quantize_colors=True, map_capacity=big_sched,
+        motion_model="constant_velocity",  # 4x-speed camera
     )
     hw_big_t = fusion_hw(
         big_sched, H, W,
