@@ -490,6 +490,12 @@ def run(out_path=None):
           baseline=hard_base320, ate=True)
 
     # hard clip at the NORTH-STAR 640x480: both noise knobs scale with
+    # NOTE on baselines: the 640x480 hard rows carry no vs_baseline on
+    # purpose — a reference CPU run at this size extrapolates to ~6 h
+    # (320x240 took 1453 s and the KNN cost grows ~16x: 4x src points x
+    # 4x map points) and the reference already diverges at BOTH smaller
+    # resolutions (1.23 m ATE at 160x120, 1.17 m at 320x240 —
+    # MEASURED_BASELINE.json), so the number would anchor nothing new.
     # resolution (ds ~ W/80, pitch ~ W/160; docs/design.md §4). Measured
     # sweep (TPU 2026-08-19): ds8/pitch4 17.2 mm, ds16/pitch4 23.3 mm,
     # ds8/pitch2 0.41 m (insufficient normal baseline), ds4/any 0.55-3.7 m
