@@ -72,8 +72,10 @@ class ICPSLAM:
             odom_assoc=['projective', 'knn']``: cheap projective
             pre-alignment plus a short KNN level that re-anchors the
             tangential drift projective association cannot observe
-            (measured on the noisy hard clip: hybrid 18.6 mm vs pure
-            projective 176 mm vs pure KNN 14.3 mm at ~8x pure-KNN speed).
+            (measured on the noisy 320x240 hard clip: ungated hybrid
+            17.9 mm vs pure projective 176 mm vs pure KNN 14.3 mm at
+            ~8x pure-KNN speed; at 640x480 the hybrid wants the 45-degree
+            gate — see design.md section 4 for the sweep).
         odom_angle_gate: optional normal-compatibility gate (degrees),
             BOTH association modes: associations whose frame normal
             deviates from the associated map normal by more than this

@@ -476,12 +476,18 @@ def run(out_path=None):
           "frames/s", hslam_psym, frames, B, L, iters=2,
           baseline=hard_base320, ate=True)
     # hybrid pyramid: coarse projective pre-alignment + short KNN re-anchor
-    # level — KNN-grade robustness (18.6 mm vs pure KNN 14.3) at ~8x the
-    # pure-KNN speed (the KNN level runs 4 iters at ds8).
+    # level — KNN-grade robustness at ~8x the pure-KNN speed (the KNN level
+    # runs 4 iters at ds8). UNGATED since round 5: the r4 gate30 row's
+    # 25.9 mm relied on the then-unnormalized gate dot — blended map
+    # normals have norm < 1, so the old gate was per-row TIGHTER exactly
+    # where normals were heavily blended. With the normalized (exact-angle)
+    # gate, the sweep says the KNN re-anchor level works best ungated here:
+    # nogate 17.9 mm / gate20 36.4 mm / gate30 42.5 mm / gate45 48 mm (CPU
+    # sweep 2026-08-20; design.md §4).
     hslam_hyb = PointFusion(
         odom="gradicp", pyramid=[(8, 6), (8, 4)],
         odom_assoc=["projective", "knn"], odom_sym_normals=True,
-        odom_angle_gate=30.0, map_capacity=L * H * W,
+        map_capacity=L * H * W,
         motion_model="constant_velocity", robust_loss="tukey",
         robust_scale=0.03, dist_thresh=0.01, normal_pitch=2,
     )
