@@ -173,7 +173,11 @@ class ICPSLAM:
             whose map carries confidence counters (PointFusion). Applies to
             ``forward`` only — the frame-counter lives in its scan; online
             ``step`` loops call ``prune_map`` themselves (see
-            ``examples/online_slam.py``).
+            ``examples/online_slam.py``). Implementation: the scan is cut
+            at prune boundaries and ``prune_map`` runs between the
+            resulting sub-scans — a ``lax.cond`` in the scan body would
+            block XLA's map-buffer aliasing and cost a full-capacity copy
+            every frame (see ``_prune_segments``).
         relocalize_below: if > 0, the scanned ``forward`` gains the failure
             branch the reference never had (icpslam.py:180-247): after every
             odometry solve, tracking health (inlier fraction of the
@@ -768,18 +772,30 @@ class ICPSLAM:
         Overridden by PointFusion."""
         return update_map_aggregate(pointclouds, live_frame)
 
-    def _maybe_prune(self, map_pc: Pointclouds, frame_idx) -> Pointclouds:
-        """Periodic map maintenance: prune unstable points every
-        ``prune_every``-th mapped frame (no-op when disabled)."""
+    def _prune_segments(self, start: int, n: int):
+        """Split the global frame run ``[start, start + n)`` into
+        ``(sub_n, prune_after)`` chunks whose boundaries land after every
+        ``prune_every``-th mapped frame, so :func:`prune_map` runs BETWEEN
+        ``lax.scan`` calls instead of as a ``lax.cond`` inside the scan
+        body. A cond in the carry path blocks XLA's buffer aliasing for
+        the whole map pytree — every frame then pays a full-capacity copy
+        of points/normals/colors/features (measured on-TPU at 2.4M-row
+        capacity: +40 ms/frame, ~10x the cost of the amortized prune pass
+        itself; design.md 'Map maintenance')."""
         if not self.prune_every:
-            return map_pc
-        do = (frame_idx + 1) % self.prune_every == 0
-        return jax.lax.cond(
-            do,
-            lambda pc: prune_map(pc, self.prune_min_confidence),
-            lambda pc: pc,
-            map_pc,
-        )
+            return [(n, False)]
+        out = []
+        s, end, k = start, start + n, self.prune_every
+        while s < end:
+            # next global boundary g >= s with (g + 1) % k == 0
+            g = s + (k - 1 - (s % k)) % k
+            if g < end:
+                out.append((g - s + 1, True))
+                s = g + 1
+            else:
+                out.append((end - s, False))
+                s = end
+        return out
 
     def _icp_target_window(
         self, pointclouds: Pointclouds, H: int, W: int
@@ -1197,7 +1213,7 @@ class ICPSLAM:
                     feature_image=xs[4][:, None] if hf else None,
                     normal_pitch=frames.normal_pitch,
                 )
-                return self._maybe_prune(self._map(map_pc, live), idx), pose
+                return self._map(map_pc, live), pose
 
             if self.remat:
                 body = jax.checkpoint(body)
@@ -1206,18 +1222,25 @@ class ICPSLAM:
             start = 0
             for n, cap_seg in schedule:
                 map_pc = map_pc.with_capacity(cap_seg)
-                map_pc, poses_out = jax.lax.scan(
-                    body,
-                    map_pc,
-                    (
-                        rgb_l[start:start + n],
-                        depth_l[start:start + n],
-                        poses_l[start:start + n],
-                        frame_ids[start:start + n],
-                    ) + ((feat_l[start:start + n],) if hf else ()),
-                )
-                chunks.append(poses_out)
-                start += n
+                # prune_map runs BETWEEN sub-scans (see _prune_segments: a
+                # lax.cond inside the body would block map-buffer aliasing)
+                for sub_n, prune_after in self._prune_segments(start, n):
+                    map_pc, poses_out = jax.lax.scan(
+                        body,
+                        map_pc,
+                        (
+                            rgb_l[start:start + sub_n],
+                            depth_l[start:start + sub_n],
+                            poses_l[start:start + sub_n],
+                            frame_ids[start:start + sub_n],
+                        ) + ((feat_l[start:start + sub_n],) if hf else ()),
+                    )
+                    if prune_after:
+                        map_pc = prune_map(
+                            map_pc, self.prune_min_confidence
+                        )
+                    chunks.append(poses_out)
+                    start += sub_n
             poses_out = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks)
             return map_pc, jnp.moveaxis(poses_out, 0, 1)
 
@@ -1230,7 +1253,9 @@ class ICPSLAM:
                 jnp.eye(4, dtype=frames.depth_image.dtype), (B, 4, 4)
             )
         live0 = frames[:, 0].with_poses(pose0[:, None])
-        map_pc = self._maybe_prune(self._map(map_pc, live0), 0)
+        map_pc = self._map(map_pc, live0)
+        if self.prune_every == 1:  # (0 + 1) % prune_every == 0 iff every frame
+            map_pc = prune_map(map_pc, self.prune_min_confidence)
 
         rgb_l = jnp.moveaxis(frames.rgb_image[:, 1:], 1, 0)
         depth_l = jnp.moveaxis(frames.depth_image[:, 1:], 1, 0)
@@ -1282,7 +1307,7 @@ class ICPSLAM:
             else:
                 poses = self._localize(map_pc, live, live)  # (B, 1, 4, 4)
             live = live.with_poses(poses)
-            map_pc = self._maybe_prune(self._map(map_pc, live), idx)
+            map_pc = self._map(map_pc, live)
             # world-frame relative transform (poses compose as T @ prev):
             # delta_k = pose_k @ pose_{k-1}^-1, next frame's CV prediction
             delta = (
@@ -1321,25 +1346,32 @@ class ICPSLAM:
             map_pc = map_pc.with_capacity(cap_seg)
             if n_scan == 0:
                 continue
-            carry0 = (
-                (map_pc, prev_pose, prev_delta, anchor) if anchored
-                else (map_pc, prev_pose, prev_delta)
-            )
-            carry1, poses_seg = jax.lax.scan(
-                body,
-                carry0,
-                (
-                    rgb_l[start:start + n_scan],
-                    depth_l[start:start + n_scan],
-                    frame_ids[start:start + n_scan],
-                ) + ((feat_l[start:start + n_scan],) if hf else ()),
-            )
-            if anchored:
-                map_pc, prev_pose, prev_delta, anchor = carry1
-            else:
-                map_pc, prev_pose, prev_delta = carry1
-            chunks.append(poses_seg)
-            start += n_scan
+            # global frame of scan-local s is s + 1 (frame 0 is outside the
+            # scan); prune_map runs BETWEEN sub-scans (see _prune_segments)
+            for sub_n, prune_after in self._prune_segments(
+                start + 1, n_scan
+            ):
+                carry0 = (
+                    (map_pc, prev_pose, prev_delta, anchor) if anchored
+                    else (map_pc, prev_pose, prev_delta)
+                )
+                carry1, poses_seg = jax.lax.scan(
+                    body,
+                    carry0,
+                    (
+                        rgb_l[start:start + sub_n],
+                        depth_l[start:start + sub_n],
+                        frame_ids[start:start + sub_n],
+                    ) + ((feat_l[start:start + sub_n],) if hf else ()),
+                )
+                if anchored:
+                    map_pc, prev_pose, prev_delta, anchor = carry1
+                else:
+                    map_pc, prev_pose, prev_delta = carry1
+                if prune_after:
+                    map_pc = prune_map(map_pc, self.prune_min_confidence)
+                chunks.append(poses_seg)
+                start += sub_n
         if not chunks:  # L == 1: only the bootstrap frame was mapped
             return map_pc, pose0[:, None]
         poses_rest = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks)
