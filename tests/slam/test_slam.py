@@ -133,6 +133,70 @@ class TestPruneInPipeline:
                 pc_auto.points_list[b], pc.points_list[b], atol=1e-6
             )
 
+    def test_prune_segments_arithmetic(self):
+        """_prune_segments must tile the run exactly and flag precisely the
+        global frames g with (g + 1) % prune_every == 0 (the boundaries the
+        old in-scan lax.cond fired on)."""
+        for k in (1, 2, 3, 4, 7):
+            slam = PointFusion(
+                odom="gt", map_capacity=64, prune_every=k,
+                prune_min_confidence=1.5,
+            )
+            for start, n in ((0, 9), (1, 8), (3, 5), (5, 1), (4, 12)):
+                segs = slam._prune_segments(start, n)
+                assert sum(s for s, _ in segs) == n
+                g = start
+                fired = []
+                for sub_n, prune_after in segs:
+                    g += sub_n
+                    # a flagged sub-scan must END on a boundary frame
+                    if prune_after:
+                        assert g % k == 0, (start, n, k, segs)
+                        fired.append(g - 1)
+                expect = [g for g in range(start, start + n)
+                          if (g + 1) % k == 0]
+                assert fired == expect, (start, n, k, segs)
+        nop = PointFusion(odom="gt", map_capacity=64)
+        assert nop._prune_segments(2, 7) == [(7, False)]
+
+    def test_prune_with_capacity_schedule(self):
+        """prune_every composed with a capacity schedule: the segment-cut
+        scan must equal the manual step+prune+with_capacity loop even when
+        prune boundaries straddle schedule segments."""
+        from gradslam_tpu.datasets import synthetic_sequence
+        from gradslam_tpu.slam import prune_map
+
+        B, L, H, W = 1, 9, 60, 80
+        rgb, depths, intrinsics, poses = synthetic_sequence(B, L, H, W)
+        frames = RGBDImages(
+            jnp.asarray(rgb), jnp.asarray(depths), jnp.asarray(intrinsics),
+            jnp.asarray(poses),
+        )
+        cap_a, cap_b = 4 * H * W, 9 * H * W
+        sched = [(4, cap_a), (5, cap_b)]
+        thr = 0.5
+        auto = PointFusion(
+            odom="gt", map_capacity=sched, prune_every=2,
+            prune_min_confidence=thr,
+        )
+        pc_auto, _ = auto(frames)
+
+        plain = PointFusion(odom="gt", map_capacity=cap_a)
+        pc = plain.empty_map(B, cap_a)
+        for s in range(L):
+            if s == 4:
+                pc = pc.with_capacity(cap_b)
+            pc, _ = plain.step(pc, frames[:, s])
+            if (s + 1) % 2 == 0:
+                pc = prune_map(pc, thr)
+        np.testing.assert_array_equal(
+            np.asarray(pc_auto.num_points), np.asarray(pc.num_points)
+        )
+        assert int(pc_auto.num_points[0]) > 0
+        np.testing.assert_allclose(
+            pc_auto.points_list[0], pc.points_list[0], atol=1e-6
+        )
+
     def test_prune_shrinks_map(self, msrd):
         frames = make_frames(msrd)
         cap = 3 * 120 * 160
