@@ -57,8 +57,7 @@ def run(out_path=None):
             "device": device_platform,
             "configs": results,
         }
-        if partial:
-            payload["partial"] = True
+        payload["partial"] = bool(partial)
         with open(out_path, "w") as f:
             json.dump(payload, f, indent=1)
             f.write("\n")
