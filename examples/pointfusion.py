@@ -71,12 +71,24 @@ parser.add_argument(
     "ATE). Default: reference-parity pitch 1.",
 )
 parser.add_argument(
-    "--odom-assoc", type=str, default="knn", choices=["knn", "projective"],
+    "--odom-assoc", type=str, default="knn",
     help="Odometry data association: 'knn' (reference semantics, O(N*M) "
     "nearest-neighbour per iteration) or 'projective' (KNN-free "
     "frame-to-model: project the map window into the live camera and read "
-    "the frame at the landed pixel — O(N) per iteration).",
+    "the frame at the landed pixel — O(N) per iteration). With --pyramid, "
+    "a comma-separated per-level list enables hybrid schedules, e.g. "
+    "--pyramid 8:6,8:4 --odom-assoc projective,knn (cheap projective "
+    "pre-alignment + a short KNN re-anchor level).",
 )
+parser.add_argument(
+    "--prune-every", type=int, default=0,
+    help="Keller-style map maintenance: every N mapped frames, drop "
+    "points whose confidence is below --prune-min-confidence. On noisy "
+    "full-resolution clips this both bounds the map and improves "
+    "tracking (640x480 hard clip: 30.1 -> 17.0 mm ATE with N=4, "
+    "conf 1.5 — docs/tutorial_odometry.md). 0 = off.",
+)
+parser.add_argument("--prune-min-confidence", type=float, default=1.5)
 parser.add_argument(
     "--odom-angle-gate", type=float, default=None,
     help="Normal-compatibility gate (degrees), both association modes: "
@@ -164,13 +176,16 @@ def main():
         dist_thresh=args.dist_thresh,
         motion_model=args.motion_model,
         normal_pitch=args.normal_pitch,
-        odom_assoc=args.odom_assoc,
+        odom_assoc=(args.odom_assoc.split(",") if "," in args.odom_assoc
+                    else args.odom_assoc),
         odom_sym_normals=args.odom_sym_normals,
         odom_point_weight=args.odom_point_weight,
         odom_subpixel=args.odom_subpixel,
         odom_angle_gate=args.odom_angle_gate,
         relocalize_below=args.relocalize_below,
         anchor_every=args.anchor_every,
+        prune_every=args.prune_every,
+        prune_min_confidence=args.prune_min_confidence,
     )
     pointclouds, recovered_poses = slam(frames)
     if args.quantize_colors:

@@ -100,6 +100,20 @@ class TestExampleCLIs:
         assert r.returncode == 0, r.stderr[-2000:]
         assert "map points per sequence" in r.stdout
 
+    def test_pointfusion_hybrid_and_prune_flags(self, fake_tum):
+        """Round-5 production recipe on the CLI: hybrid per-level odometry
+        association (comma list) + Keller-style map maintenance."""
+        r = run_example(
+            "pointfusion.py", "--dataset", "tum", "--dataset_path", fake_tum,
+            "--odometry", "gradicp", "--seqlen", "4", "--batch_size", "1",
+            "--height", "24", "--width", "32",
+            "--pyramid", "4:3,2:2", "--odom-assoc", "projective,knn",
+            "--odom-sym-normals", "--prune-every", "2",
+            "--prune-min-confidence", "0.5",
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "map points per sequence" in r.stdout
+
     def test_icpslam_reports_ate(self, fake_tum):
         r = run_example(
             "icpslam.py", "--dataset", "tum", "--dataset_path", fake_tum,
