@@ -69,6 +69,7 @@ from ..slam.fusionutils import (
     pack_colors,
     unpack_colors,
 )
+from ..slam.icpslam import split_prune_segments
 from ..structures.pointclouds import Pointclouds, compact_masked
 from ..structures.rgbdimages import RGBDImages
 
@@ -279,6 +280,8 @@ class MapShardedPointFusion:
         quantize_colors: bool = False,
         feature_channels: int = 0,
         normal_pitch: Optional[int] = None,
+        prune_every: int = 0,
+        prune_min_confidence: float = 1.5,
         use_jit: bool = True,
     ):
         if odom not in ("gt", "icp", "gradicp"):
@@ -409,6 +412,19 @@ class MapShardedPointFusion:
                 f"Got {feature_channels!r}."
             )
         self.feature_channels = feature_channels
+        # Keller-style map maintenance (same contract as
+        # PointFusion(prune_every=..., prune_min_confidence=...)): every
+        # prune_every-th mapped frame, rows whose leading ccount feature is
+        # below prune_min_confidence are compacted away PER SHARD — no
+        # cross-device traffic, and (like the single-device pipelines) the
+        # prune runs between scan segments, never as an in-scan lax.cond
+        # (slam.icpslam.split_prune_segments documents the aliasing tax).
+        if not isinstance(prune_every, int) or prune_every < 0:
+            raise ValueError(
+                f"prune_every must be a non-negative int. Got {prune_every!r}."
+            )
+        self.prune_every = prune_every
+        self.prune_min_confidence = prune_min_confidence
         self._forward = jax.jit(self._forward_impl) if use_jit else self._forward_impl
 
     # ------------------------------------------------------------------ #
@@ -965,9 +981,28 @@ class MapShardedPointFusion:
             state0 = jax.tree.map(
                 lambda x: jax.lax.pcast(x, vary_axes, to="varying"), state0)
 
+            def prune_state(state):
+                # per-shard Keller prune: compact away local rows whose
+                # ccount is below the threshold (no cross-device traffic —
+                # each shard compacts its own slice and its own live count)
+                pts, nrm, col, feat, nloc, ndrop = state
+                rows = jnp.arange(pts.shape[1], dtype=jnp.int32)
+                keep = (rows[None, :] < nloc[:, None]) & (
+                    feat[..., 0] >= self.prune_min_confidence
+                )
+                cap_l = pts.shape[1]
+                pts2, cnt = compact_masked(pts, keep, cap_l)
+                nrm2, _ = compact_masked(nrm, keep, cap_l)
+                col2, _ = compact_masked(col, keep, cap_l)
+                feat2, _ = compact_masked(feat, keep, cap_l)
+                return (pts2, nrm2, col2, feat2, cnt, ndrop)
+
             pose0 = poses_in[0]
             gv0, gn0 = globalize(pose0, lv[0], ln[0], fvalid[0])
             state = fuse(state0, pose0, gv0, gn0, fc[0], fa[0], fvalid[0], fu[0])
+            if self.prune_every == 1:  # (0 + 1) % k == 0 iff every frame
+                state = prune_state(state)
+            segments = split_prune_segments(1, L - 1, self.prune_every)
 
             if not tracked:
                 def body(carry, frame):
@@ -976,10 +1011,17 @@ class MapShardedPointFusion:
                     gv, gn = globalize(pose, v, n, vd)
                     return fuse(st, pose, gv, gn, c, a, vd, uf), pose
 
-                state, _ = jax.lax.scan(
-                    body, state,
-                    (lv[1:], ln[1:], fc[1:], fa[1:], fvalid[1:], fu[1:],
-                     poses_in[1:]))
+                xs_all = (lv[1:], ln[1:], fc[1:], fa[1:], fvalid[1:],
+                          fu[1:], poses_in[1:])
+                start = 0
+                for sub_n, prune_after in segments:
+                    xs = jax.tree.map(
+                        lambda x, s=start, m=sub_n: x[s:s + m], xs_all
+                    )
+                    state, _ = jax.lax.scan(body, state, xs)
+                    if prune_after:
+                        state = prune_state(state)
+                    start += sub_n
                 poses_out = poses_in
             else:
                 cv = self.motion_model == "constant_velocity"
@@ -1018,10 +1060,29 @@ class MapShardedPointFusion:
                 delta0 = jnp.broadcast_to(
                     jnp.eye(4, dtype=pose0.dtype), pose0.shape
                 )
-                (state, _, _), rest = jax.lax.scan(
-                    body, (state, pose0, delta0),
-                    (lv[1:], ln[1:], fc[1:], fa[1:], fvalid[1:], fu[1:],
-                     tuple(x[1:] for x in sl), tuple(x[1:] for x in sv)))
+                xs_all = (lv[1:], ln[1:], fc[1:], fa[1:], fvalid[1:],
+                          fu[1:], tuple(x[1:] for x in sl),
+                          tuple(x[1:] for x in sv))
+                carry = (state, pose0, delta0)
+                rest_chunks = []
+                start = 0
+                for sub_n, prune_after in segments:
+                    xs = jax.tree.map(
+                        lambda x, s=start, m=sub_n: x[s:s + m], xs_all
+                    )
+                    carry, rest_seg = jax.lax.scan(body, carry, xs)
+                    if prune_after:
+                        st, pp, pd = carry
+                        carry = (prune_state(st), pp, pd)
+                    rest_chunks.append(rest_seg)
+                    start += sub_n
+                state = carry[0]
+                rest = (
+                    rest_chunks[0] if len(rest_chunks) == 1
+                    else jnp.concatenate(rest_chunks)
+                ) if rest_chunks else jnp.zeros(
+                    (0,) + pose0.shape, pose0.dtype
+                )
                 poses_out = jnp.concatenate([pose0[None], rest], axis=0)
 
             pts, nrm, col, feat, nloc, ndrop = state

@@ -48,6 +48,33 @@ from .fusionutils import find_active_map_points, prune_map, update_map_aggregate
 __all__ = ["ICPSLAM"]
 
 
+def split_prune_segments(start: int, n: int, prune_every: int):
+    """Split the global frame run ``[start, start + n)`` into
+    ``(sub_n, prune_after)`` chunks whose boundaries land after every
+    ``prune_every``-th mapped frame, so :func:`prune_map` runs BETWEEN
+    ``lax.scan`` calls instead of as a ``lax.cond`` inside the scan body.
+    A cond in the carry path blocks XLA's buffer aliasing for the whole
+    map pytree — every frame then pays a full-capacity copy of
+    points/normals/colors/features (measured on-TPU at 2.4M-row capacity:
+    +40 ms/frame, ~10x the cost of the amortized prune pass itself;
+    design.md 'Map maintenance'). Shared by the single-device pipelines
+    and ``MapShardedPointFusion``."""
+    if not prune_every:
+        return [(n, False)] if n else []
+    out = []
+    s, end, k = start, start + n, prune_every
+    while s < end:
+        # next global boundary g >= s with (g + 1) % k == 0
+        g = s + (k - 1 - (s % k)) % k
+        if g < end:
+            out.append((g - s + 1, True))
+            s = g + 1
+        else:
+            out.append((end - s, False))
+            s = end
+    return out
+
+
 class ICPSLAM:
     r"""ICP-SLAM: frame-to-map odometry + naive map aggregation.
 
@@ -773,29 +800,7 @@ class ICPSLAM:
         return update_map_aggregate(pointclouds, live_frame)
 
     def _prune_segments(self, start: int, n: int):
-        """Split the global frame run ``[start, start + n)`` into
-        ``(sub_n, prune_after)`` chunks whose boundaries land after every
-        ``prune_every``-th mapped frame, so :func:`prune_map` runs BETWEEN
-        ``lax.scan`` calls instead of as a ``lax.cond`` inside the scan
-        body. A cond in the carry path blocks XLA's buffer aliasing for
-        the whole map pytree — every frame then pays a full-capacity copy
-        of points/normals/colors/features (measured on-TPU at 2.4M-row
-        capacity: +40 ms/frame, ~10x the cost of the amortized prune pass
-        itself; design.md 'Map maintenance')."""
-        if not self.prune_every:
-            return [(n, False)]
-        out = []
-        s, end, k = start, start + n, self.prune_every
-        while s < end:
-            # next global boundary g >= s with (g + 1) % k == 0
-            g = s + (k - 1 - (s % k)) % k
-            if g < end:
-                out.append((g - s + 1, True))
-                s = g + 1
-            else:
-                out.append((end - s, False))
-                s = end
-        return out
+        return split_prune_segments(start, n, self.prune_every)
 
     def _icp_target_window(
         self, pointclouds: Pointclouds, H: int, W: int

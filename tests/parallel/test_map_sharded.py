@@ -62,6 +62,74 @@ class TestMapShardedFusion:
             rtol=1e-5,
         )
 
+    def test_prune_matches_single_device(self, mesh):
+        """Sharded Keller map maintenance (prune_every): per-shard
+        compaction between scan segments must leave the same point SET and
+        live count as the single-device segmented prune."""
+        B, L, H, W = 1, 5, 16, 24
+        frames = synthetic_frames(B, L=L, H=H, W=W)
+        cap, thr = 8 * 512, 0.05
+
+        single = PointFusion(
+            odom="gt", map_capacity=cap, prune_every=2,
+            prune_min_confidence=thr,
+        )
+        pc_s, _ = single(frames)
+        noprune_n = int(np.asarray(
+            PointFusion(odom="gt", map_capacity=cap)(frames)[0].num_points
+        ).sum())
+
+        sharded = MapShardedPointFusion(
+            map_capacity=cap, mesh=mesh, prune_every=2,
+            prune_min_confidence=thr,
+        )
+        smap, poses_m = sharded(frames)
+        pc_m = smap.to_pointclouds()
+
+        n_s = int(np.asarray(pc_s.num_points).sum())
+        n_m = int(np.asarray(smap.num_points).sum())
+        assert n_m == n_s
+        assert 0 < n_m < noprune_n  # prune actually removed rows
+        np.testing.assert_allclose(
+            _sorted_rows(pc_m.points_list[0]),
+            _sorted_rows(pc_s.points_list[0]),
+            atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            float(np.asarray(pc_m.features_list[0]).sum()),
+            float(jnp.sum(pc_s.features * pc_s.nonpad_mask[..., None])),
+            rtol=1e-5,
+        )
+
+    def test_prune_tracked_matches_single_device(self, mesh):
+        """prune_every through the TRACKED sharded path (gradicp odometry):
+        trajectories and the pruned map must match single-device."""
+        B, L, H, W = 1, 5, 16, 24
+        frames = synthetic_frames(B, L=L, H=H, W=W)
+        cap, thr = 8 * 512, 0.05
+        kw = dict(dsratio=2, numiters=4, prune_every=2,
+                  prune_min_confidence=thr)
+
+        single = PointFusion(odom="gradicp", map_capacity=cap, **kw)
+        pc_s, poses_s = single(frames)
+        sharded = MapShardedPointFusion(
+            odom="gradicp", map_capacity=cap, mesh=mesh, **kw
+        )
+        smap, poses_m = sharded(frames)
+        pc_m = smap.to_pointclouds()
+
+        np.testing.assert_allclose(
+            np.asarray(poses_m), np.asarray(poses_s), atol=1e-5
+        )
+        assert int(np.asarray(smap.num_points).sum()) == int(
+            np.asarray(pc_s.num_points).sum()
+        )
+        np.testing.assert_allclose(
+            _sorted_rows(pc_m.points_list[0]),
+            _sorted_rows(pc_s.points_list[0]),
+            atol=1e-4,
+        )
+
     @pytest.mark.parametrize("K", [2, 4])
     def test_shard_count_scaling(self, K):
         """VERDICT r1 #7: K=2 and K=4 shard counts must produce the same map
