@@ -197,6 +197,27 @@ class TestPruneInPipeline:
             pc_auto.points_list[0], pc.points_list[0], atol=1e-6
         )
 
+    def test_prune_is_differentiable(self, msrd):
+        """The production map-maintenance knob must not break the
+        differentiability flagship: gradients flow from the pruned map
+        back to the raw depth through the segment-boundary prunes."""
+        frames = make_frames(msrd, B=1, L=3)
+        slam = PointFusion(
+            odom="gt", use_jit=False, map_capacity=3 * 120 * 160,
+            prune_every=2, prune_min_confidence=0.5,
+        )
+
+        def loss(depth):
+            fr = RGBDImages(
+                frames.rgb_image, depth, frames.intrinsics, frames.poses
+            )
+            pc, _ = slam(fr)
+            return jnp.sum(pc.points**2)
+
+        g = jax.grad(loss)(frames.depth_image)
+        assert np.all(np.isfinite(np.asarray(g)))
+        assert float(jnp.abs(g).max()) > 0
+
     def test_prune_shrinks_map(self, msrd):
         frames = make_frames(msrd)
         cap = 3 * 120 * 160
