@@ -580,21 +580,26 @@ def run(out_path=None):
     # unstable points (confidence < 1.5, i.e. seen once) every 4 frames
     # keeps the map at ~594k STABLE points instead of saturating at 7.95M
     # noise appends — the odometry then associates against a clean map:
-    # 17.0 mm ATE (beats the 17.2 mm ds8-KNN gold row) at a 1.2M-row
+    # 16.2 mm ATE (beats the 17.2 mm ds8-KNN gold row) at a 1.2M-row
     # buffer, zero drops, trajectory identical at 1.2M/1.6M/2.4M/9.2M
-    # capacity (sweeps 2026-08-20). Requires the round-5 segment-boundary
-    # prune (a lax.cond prune in the scan body forfeits map-buffer
-    # aliasing - design.md 'Map maintenance').
+    # capacity (sweeps 2026-08-20; 1.05M overflows — 375k drops).
+    # quantize_colors + lookahead reuse are the same production fast-path
+    # knobs as the easy-clip rows (+35% fps here, reuse also sheds one KNN
+    # per iteration and nudges ATE 17.0 -> 16.2 mm). Requires the round-5
+    # segment-boundary prune (a lax.cond prune in the scan body forfeits
+    # map-buffer aliasing - design.md 'Map maintenance').
     hslam_hyb640_prune = PointFusion(
         odom="gradicp", pyramid=[(8, 6), (8, 4)],
         odom_assoc=["projective", "knn"], odom_sym_normals=True,
         odom_angle_gate=45.0, map_capacity=1_228_800,
         prune_every=4, prune_min_confidence=1.5,
+        quantize_colors=True, lookahead_assoc="reuse",
         motion_model="constant_velocity", robust_loss="tukey",
         robust_scale=0.03, dist_thresh=0.01, normal_pitch=4,
     )
-    timed("PointFusion(gradicp, hybrid pyramid + prune4) hard-clip 640x480 "
-          "frames/s", hslam_hyb640_prune, frames, B, L, iters=2, ate=True)
+    timed("PointFusion(gradicp, hybrid pyramid + prune4, reuse+quantized) "
+          "hard-clip 640x480 frames/s", hslam_hyb640_prune, frames, B, L,
+          iters=2, ate=True)
     # KNN at the DENSE ds4 with the round-4 normal gate — the density
     # regime the gate was built for (ungated KNN ds4 diverges outright at
     # 0.55-3.7 m; design.md §4).
