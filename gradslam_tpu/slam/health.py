@@ -47,7 +47,7 @@ import jax.numpy as jnp
 
 from ..odometry.icputils import downsample_pointclouds, downsample_rgbdimages
 from ..ops import nn_points_auto
-from ..structures.pointclouds import Pointclouds
+from ..structures.pointclouds import Pointclouds, compact_masked
 from ..structures.rgbdimages import RGBDImages
 from .fusionutils import find_active_map_points
 
@@ -83,9 +83,17 @@ def keyframe_anchor(live_frame: RGBDImages, dsratio: int = 1) -> Pointclouds:
         Geometry-only (points + normals) :class:`Pointclouds`, world frame.
     """
     pc = downsample_rgbdimages(live_frame, dsratio)
-    return Pointclouds(
-        points=pc.points, num_points=pc.num_points, normals=pc.normals
+    # Drop zero-normal rows (degenerate finite-difference pixels and
+    # invalid-depth borders): their plane residual |n.(p-s)| is exactly 0
+    # at ANY pose, so they would count as unconditional inliers and mask
+    # the very drift the anchor exists to expose (ADVICE r5).
+    solid = pc.nonpad_mask & (
+        jnp.sum(pc.normals * pc.normals, axis=-1) > 0.0
     )
+    cap = pc.points.shape[1]
+    pts, cnt = compact_masked(pc.points, solid, cap)
+    nrm, _ = compact_masked(pc.normals, solid, cap)
+    return Pointclouds(points=pts, num_points=cnt, normals=nrm)
 
 
 def tracking_health(
@@ -315,6 +323,13 @@ def _window_health_projective(
     def health_one(m_pts, m_nrm, m_mask, fgeom, K, pose):
         s, admissible, _ = projective_associate(
             m_pts, m_nrm, m_mask, fgeom, K, pose, H, W, dist_thresh
+        )
+        # zero-normal rows carry no plane information: |n.(p-s)| == 0 at
+        # any pose, so they would be unconditional inliers — exclude them
+        # from numerator AND denominator (belt-and-braces with the
+        # snapshot-side compaction in keyframe_anchor/_anchor_snapshot)
+        admissible = admissible & (
+            jnp.sum(m_nrm * m_nrm, axis=-1) > 0.0
         )
         r = jnp.abs(jnp.sum(m_nrm * (m_pts - s), axis=-1))
         n_rows = jnp.maximum(jnp.sum(m_mask), 1.0)

@@ -61,6 +61,17 @@ def split_prune_segments(start: int, n: int, prune_every: int):
     and ``MapShardedPointFusion``."""
     if not prune_every:
         return [(n, False)] if n else []
+    if n // prune_every > 64:
+        import warnings
+
+        warnings.warn(
+            f"prune_every={prune_every} over {n} frames unrolls "
+            f"{n // prune_every + 1} scan segments into one program — "
+            "trace/compile time scales with the segment count. Use a "
+            "longer prune interval on long sequences, or prune manually "
+            "in a step() loop.",
+            stacklevel=2,
+        )
     out = []
     s, end, k = start, start + n, prune_every
     while s < end:
@@ -1082,7 +1093,16 @@ class ICPSLAM:
         ``keyframe_anchor`` applies to the KNN health only)."""
         ds = self.anchor_dsratio or self.dsratio
         pc = downsample_rgbdimages(live, ds)
-        return pc.points, pc.normals, pc.num_points
+        # drop zero-normal rows: their plane residual is 0 at any pose, so
+        # they would score as unconditional inliers in the drift gate and
+        # mask the drift the anchor exists to expose (see keyframe_anchor)
+        solid = pc.nonpad_mask & (
+            jnp.sum(pc.normals * pc.normals, axis=-1) > 0.0
+        )
+        cap = pc.points.shape[1]
+        pts, cnt = compact_masked(pc.points, solid, cap)
+        nrm, _ = compact_masked(pc.normals, solid, cap)
+        return pts, nrm, cnt
 
     def _maybe_anchor_recover(
         self,
@@ -1327,12 +1347,23 @@ class ICPSLAM:
                 # refreshing then would bake the drift into the reference.
                 # The blind window is the refresh interval (health.py docs).
                 refresh = ((idx % self.anchor_every) == 0) & ~drifting  # (B,)
-                snap = self._anchor_snapshot(live)
-                anchor = tuple(
-                    jnp.where(
-                        refresh.reshape((-1,) + (1,) * (n.ndim - 1)), n, o
+
+                def _refresh_anchor(a):
+                    # snapshot computed ONLY on refresh frames — the cond
+                    # carries just the small anchor tuple, so the map-
+                    # aliasing tax of an in-scan cond (split_prune_segments
+                    # docs) does not apply here
+                    snap = self._anchor_snapshot(live)
+                    return tuple(
+                        jnp.where(
+                            refresh.reshape((-1,) + (1,) * (n.ndim - 1)),
+                            n, o,
+                        )
+                        for n, o in zip(snap, a)
                     )
-                    for n, o in zip(snap, anchor)
+
+                anchor = jax.lax.cond(
+                    jnp.any(refresh), _refresh_anchor, lambda a: a, anchor
                 )
                 return (map_pc, poses[:, 0], delta, anchor), poses[:, 0]
             return (map_pc, poses[:, 0], delta), poses[:, 0]

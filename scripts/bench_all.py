@@ -190,6 +190,9 @@ def run(out_path=None):
         if hbm_gb is not None:
             entry["hbm_gb"] = hbm_gb
         if hw is not None:
+            # the cost model is per-sequence-frame; fps counts B*L frames,
+            # so a batched config would silently misreport by a factor of B
+            assert B == 1, "hw= cost-model columns assume B == 1"
             dt_frame = 1.0 / fps  # seconds per frame (B=1 configs)
             entry["rows_per_frame"] = hw["rows_per_frame"]
             entry["bytes_per_frame"] = hw["bytes_per_frame"]
