@@ -69,10 +69,13 @@ def main():
     )
     # Every fusion stage is O(capacity), so the buffer grows in segments
     # (amortized growth, like a growable array): the measured per-frame map
-    # sizes on this clip are 307k -> 350k -> 430k -> 516k at frames 0/9/19/29,
-    # and each segment's capacity gives >= 5% headroom over its end-of-segment
-    # size. Mean capacity drops from 655k (fixed) to ~453k. Results are
-    # identical to a fixed-capacity run (tests/slam TestCapacitySchedule).
+    # sizes on this clip are 307k -> 322k -> 350k -> 387k -> 430k -> 472k ->
+    # 516k at frames 0/4/9/14/19/24/29, and each segment's capacity gives
+    # ~3% headroom over its end-of-segment size. Six 5-frame segments drop
+    # mean capacity from 655k (fixed) / 453k (3x10-frame segments) to ~426k
+    # — measured 105.7 -> 110.6 fps (segment-boundary re-pads are O(cap)
+    # streaming copies, ~6 per clip, noise-level). Results are identical to
+    # a fixed-capacity run (tests/slam TestCapacitySchedule).
     # Production configuration: quantized-color map (8-bit colors packed into
     # the map row — geometry, counts and trajectory are bit-identical to the
     # exact path, colors within one uchar step; tests/slam
@@ -82,7 +85,10 @@ def main():
         quantize_colors=True,
         map_capacity=(
             L * H * W if tiny
-            else [(10, 368_640), (10, 450_560), (10, 540_672)]
+            else [
+                (5, 332_800), (5, 360_448), (5, 399_360),
+                (5, 443_392), (5, 486_400), (5, 532_480),
+            ]
         ),
     )
 
