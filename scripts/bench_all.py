@@ -244,7 +244,14 @@ def run(out_path=None):
     )
     timed("ICPSLAM(icp, window+pyramid) 320x240 frames/s", icp_wp, frames, B, L,
           baseline=0.121, ate=True)
-    gicp_sched = [(10, 98_304), (10, 122_880), (10, 147_456)]
+    # Six 5-frame segments at ~4% headroom over the measured per-frame map
+    # sizes (76.8/81.8/89.9/101.0/113.0/125.8/137.8k at frames
+    # 0/4/9/14/19/24/29): mean capacity 122.9k -> 112.9k (-8.1%), every
+    # fusion pass is O(capacity). Zero-drop asserted per row.
+    gicp_sched = [
+        (5, 85_504), (5, 94_208), (5, 105_472),
+        (5, 117_760), (5, 131_072), (5, 143_360),
+    ]
     gicp = PointFusion(odom="gradicp", dsratio=4, numiters=10,
                        map_capacity=gicp_sched)
     timed("PointFusion(gradicp) 320x240 frames/s", gicp, frames, B, L,
@@ -637,9 +644,13 @@ def run(out_path=None):
         jnp.asarray(rgb), jnp.asarray(depths), jnp.asarray(intrinsics),
         jnp.asarray(poses),
     )
-    # measured sizes at frames 19/39/59: 595,855 / 869,849 / 1,125,417
-    # (+5% headroom per segment, rounded up to multiples of 1024)
-    big_sched = [(20, 626_688), (20, 915_456), (20, 1_182_720)]
+    # measured sizes at frames 9/19/29/39/49/59: 425,478 / 595,849 /
+    # 741,021 / 869,868 / 997,261 / 1,125,455 (+3% headroom per 10-frame
+    # segment, rounded up to multiples of 1024): mean capacity 908k -> 817k
+    big_sched = [
+        (10, 438_272), (10, 614_400), (10, 763_904),
+        (10, 896_000), (10, 1_028_096), (10, 1_160_192),
+    ]
     hw_big = fusion_hw(big_sched, H, W)
     big = PointFusion(odom="gt", map_capacity=big_sched)
     timed("PointFusion(gt) 640x480 large-map (1.13M pts, 60 frames) frames/s",
@@ -716,8 +727,10 @@ def run(out_path=None):
         assert np.isfinite(gd) and gd > 0, gd
         entry = {
             "metric": tag,
+            # iters=4: a run is ~3 s and a mid-row tunnel hiccup once read
+            # 8 fps where isolated remeasurement reproduces 22.7 (r5)
             "value": measure_fps(
-                grad_c, (jnp.asarray(depths), jnp.asarray(intrinsics)), 2,
+                grad_c, (jnp.asarray(depths), jnp.asarray(intrinsics)), 4,
                 lambda g: float(g[0].ravel()[0]), B * L),
             "unit": "frames/s",
             "trace_s": trace_s,
